@@ -1,0 +1,69 @@
+"""Benchmark: YOLOX-s end-to-end inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes YOLOX-s at 39.3 FPS on an unspecified
+desktop GPU (/root/reference/readme.md:217, BASELINE.md); the north-star
+target is 2000 img/s/chip at 640px on v5e. We report images/sec/chip for the
+full jitted forward (backbone+neck+head, bf16) at batch 32, 640x640 —
+vs_baseline is measured/39.3.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 39.3  # reference readme.md:217 (YOLOX-s, unspecified GPU)
+
+
+def main() -> None:
+    from yolov7_d2_tpu.config import get_cfg
+    from yolov7_d2_tpu.models.build import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.YOLO.DEPTH_MUL = 0.33
+    cfg.MODEL.YOLO.WIDTH_MUL = 0.50
+    cfg.INPUT.INPUT_SIZE = [640, 640]
+    cfg.SOLVER.AMP.ENABLED = True  # bf16 compute
+
+    batch = 32
+    model = build_model(cfg)
+    images = jnp.full((batch, 640, 640, 3), 114.0, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+
+    @jax.jit
+    def forward(variables, images):
+        return model.apply(variables, images, train=False)["outputs"]
+
+    # warmup / compile (scalar fetch: block_until_ready alone returns early
+    # on the experimental axon platform)
+    out = forward(variables, images)
+    float(out[0, 0, 0])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, images)
+    float(out[0, 0, 0])  # forces the whole queued sequence to finish
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "yolox_s_640_infer_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / BASELINE_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

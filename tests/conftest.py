@@ -1,14 +1,18 @@
-"""Test environment: force an 8-virtual-device CPU platform BEFORE jax import.
+"""Test environment: force an 8-virtual-device CPU platform BEFORE jax init.
 
 This is the TPU analogue of a fake distributed backend (the reference has
 none — SURVEY.md §4): every multi-chip sharding test runs on a CPU mesh of 8
 XLA host devices, so ``pjit`` partitioning and collectives are exercised
 without hardware.
+
+NOTE: the environment's sitecustomize pre-sets JAX_PLATFORMS=axon (the TPU
+tunnel) and registers the axon PJRT plugin, so we must *override* (not
+setdefault) and re-point jax.config at cpu before any backend is touched.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_default_matmul_precision", "float32")
+# the axon plugin's register() may have already forced jax_platforms
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()

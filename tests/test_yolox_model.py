@@ -1,0 +1,187 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov7_d2_tpu.models.backbones.darknetx import CSPDarknetX
+from yolov7_d2_tpu.models.heads.yolox_head import (
+    YOLOXHead,
+    decode_outputs,
+    simota_assign,
+)
+from yolov7_d2_tpu.models.meta_arch.yolox import (
+    YOLOX,
+    yolox_loss_fn,
+    yolox_postprocess,
+)
+from yolov7_d2_tpu.models.necks.yolo_pafpn import YOLOPAFPN, upsample2x_nearest
+
+
+SIZE = 64  # tiny static input for tests
+
+
+def _tiny_model():
+    return YOLOX(num_classes=4, depth_mul=0.33, width_mul=0.25)
+
+
+def _init(model, bs=1):
+    imgs = jnp.zeros((bs, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    return variables, imgs
+
+
+def test_backbone_feature_pyramid_shapes():
+    bb = CSPDarknetX(dep_mul=0.33, wid_mul=0.25)
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    vars_ = bb.init(jax.random.PRNGKey(0), x)
+    feats = bb.apply(vars_, x)
+    assert set(feats) == {"dark3", "dark4", "dark5"}
+    assert feats["dark3"].shape == (1, SIZE // 8, SIZE // 8, 64)
+    assert feats["dark4"].shape == (1, SIZE // 16, SIZE // 16, 128)
+    assert feats["dark5"].shape == (1, SIZE // 32, SIZE // 32, 256)
+
+
+def test_upsample2x_nearest():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = upsample2x_nearest(x)
+    assert y.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(y[0, :2, :2, 0]), [[0, 0], [0, 0]])
+    np.testing.assert_allclose(np.asarray(y[0, 2:, 2:, 0]), [[3, 3], [3, 3]])
+    np.testing.assert_allclose(np.asarray(y[0, 0, 2:, 0]), [1, 1])
+
+
+def test_pafpn_output_strides_and_channels():
+    w, d = 0.25, 0.33
+    neck = YOLOPAFPN(depth=d, width=w)
+    feats = [
+        jnp.zeros((1, 8, 8, 64)),
+        jnp.zeros((1, 4, 4, 128)),
+        jnp.zeros((1, 2, 2, 256)),
+    ]
+    vars_ = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(vars_, feats)
+    assert outs[0].shape == (1, 8, 8, 64)
+    assert outs[1].shape == (1, 4, 4, 128)
+    assert outs[2].shape == (1, 2, 2, 256)
+
+
+def test_head_anchor_count_and_decode():
+    head = YOLOXHead(num_classes=4, width=0.25)
+    feats = [
+        jnp.zeros((1, 8, 8, 64)),
+        jnp.zeros((1, 4, 4, 128)),
+        jnp.zeros((1, 2, 2, 256)),
+    ]
+    vars_ = head.init(jax.random.PRNGKey(0), feats)
+    out = head.apply(vars_, feats)
+    A = 8 * 8 + 4 * 4 + 2 * 2
+    assert out["outputs"].shape == (1, A, 5 + 4)
+    assert out["grids"].shape == (A, 2)
+    assert out["strides"].shape == (A,)
+    # first anchor of each level decodes at its stride
+    boxes, obj, cls = decode_outputs(out["outputs"], out["grids"], out["strides"])
+    assert boxes.shape == (1, A, 4)
+    # zero raw output at grid cell (1,0) of stride 8 -> center (8, 0), wh (8, 8)
+    raw = jnp.zeros_like(out["outputs"])
+    b, _, _ = decode_outputs(raw, out["grids"], out["strides"])
+    np.testing.assert_allclose(np.asarray(b[0, 1]), [8.0, 0.0, 8.0, 8.0])
+
+
+def _grid_setup():
+    # a 4x4 stride-8 grid (A=16) with simple geometry
+    ys, xs = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    grids = jnp.array(
+        np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32
+    )
+    strides = jnp.full((16,), 8.0)
+    return grids, strides
+
+
+def test_simota_assigns_anchor_inside_gt():
+    grids, strides = _grid_setup()
+    A, C, G = 16, 3, 5
+    # predictions: every anchor predicts its own cell box exactly
+    centers = (grids + 0.5) * 8.0
+    pred = jnp.concatenate([centers, jnp.full((A, 2), 8.0)], axis=-1)
+    obj = jnp.full((A,), 3.0)
+    cls = jnp.full((A, C), -3.0)
+    cls = cls.at[:, 1].set(3.0)
+    gt_boxes = jnp.zeros((G, 4)).at[0].set(jnp.array([0.0, 0.0, 8.0, 8.0]))
+    gt_classes = jnp.zeros((G,), jnp.int32).at[0].set(1)
+    gt_valid = jnp.zeros((G,), bool).at[0].set(True)
+
+    out = simota_assign(pred, obj, cls, grids, strides, gt_boxes, gt_classes, gt_valid)
+    fg = np.asarray(out["fg_mask"])
+    assert fg[0]  # anchor 0 sits exactly on the gt
+    assert out["num_fg"] >= 1
+    assert np.asarray(out["matched_gt"])[0] == 0
+    assert float(out["matched_iou"][0]) > 0.9
+
+
+def test_simota_no_gt_no_fg():
+    grids, strides = _grid_setup()
+    A, C, G = 16, 3, 5
+    pred = jnp.concatenate(
+        [(grids + 0.5) * 8.0, jnp.full((A, 2), 8.0)], axis=-1
+    )
+    out = simota_assign(
+        pred, jnp.zeros((A,)), jnp.zeros((A, C)),
+        grids, strides,
+        jnp.zeros((G, 4)), jnp.zeros((G,), jnp.int32), jnp.zeros((G,), bool),
+    )
+    assert float(out["num_fg"]) == 0.0
+
+
+def test_loss_finite_and_differentiable():
+    model = _tiny_model()
+    variables, _ = _init(model, bs=2)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, SIZE, SIZE, 3)) * 255
+    batch = {
+        "image": imgs,
+        "gt_boxes": jnp.tile(
+            jnp.array([[[8.0, 8.0, 40.0, 40.0]]]), (2, 8, 1)
+        ),
+        "gt_classes": jnp.ones((2, 8), jnp.int32),
+        "gt_valid": jnp.zeros((2, 8), bool).at[:, 0].set(True),
+    }
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["image"], train=True, mutable=["batch_stats"],
+        )
+        losses = yolox_loss_fn(out, batch, num_classes=4, use_l1=True)
+        return losses["total_loss"], losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(total))
+    for k in ["loss_iou", "loss_obj", "loss_cls", "loss_l1"]:
+        assert np.isfinite(float(losses[k])), k
+    # gradients flow and are finite
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    gnorm = sum(float(jnp.sum(g * g)) for g in leaves) ** 0.5
+    assert gnorm > 0
+
+
+def test_eval_postprocess_contract():
+    model = _tiny_model()
+    variables, imgs = _init(model, bs=2)
+    out = model.apply(variables, imgs, train=False)
+    dets = yolox_postprocess(
+        out, conf_threshold=0.0, max_detections=10, pre_nms_topk=32
+    )
+    assert dets.boxes.shape == (2, 10, 4)
+    assert dets.scores.shape == (2, 10)
+    assert dets.classes.shape == (2, 10)
+    assert dets.valid.shape == (2, 10)
+
+
+def test_model_jit_compiles():
+    model = _tiny_model()
+    variables, imgs = _init(model)
+    fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = fn(variables, imgs)
+    assert np.all(np.isfinite(np.asarray(out["outputs"])))

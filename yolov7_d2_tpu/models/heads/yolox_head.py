@@ -1,0 +1,305 @@
+"""YOLOX decoupled head: towers, grid decode, SimOTA, losses.
+
+Parity with /root/reference/yolov7/modeling/head/yolox_head.py:
+  * decoupled cls/reg/obj towers per level (:24-224)
+  * grid decode ``get_output_and_grid:226`` / ``decode_outputs:247``
+  * SimOTA label assignment ``get_assignments:451`` with center prior
+    ``get_in_boxes_info:549`` and dynamic-k matching ``dynamic_k_matching:635``
+  * losses ``get_losses:274`` (IoU + BCE(obj) + BCE(cls) + optional L1).
+
+TPU redesign: the reference's SimOTA is a per-image python loop with dynamic
+shapes (and a CUDA-OOM -> CPU fallback, :350-379). Here it is one fully
+vectorized masked computation over static ``[G, A]`` cost matrices, vmapped
+over the batch — no host sync, no dynamic shapes, jit/grad-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolov7_d2_tpu.models.layers.blocks import BaseConv, DWConv
+from yolov7_d2_tpu.ops.iou import iou_loss, pairwise_box_iou
+from yolov7_d2_tpu.ops.losses import sigmoid_binary_cross_entropy
+from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
+
+BIG_COST = 1e5
+
+
+class YOLOXHead(nn.Module):
+    """Per-level stem + cls/reg towers. Returns raw (undecoded) outputs."""
+
+    num_classes: int = 80
+    width: float = 1.0
+    strides: Sequence[int] = (8, 16, 32)
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        """feats: per-level NHWC features (stride 8/16/32).
+
+        Returns a dict with
+          outputs: [B, A, 5 + C] raw head outputs (tx, ty, tw, th, obj, cls...)
+          grids:   [A, 2] integer cell coordinates per anchor
+          strides: [A] stride of each anchor's level
+        """
+        hidden = int(256 * self.width)
+        conv_cls = DWConv if self.depthwise else BaseConv
+        level_outputs = []
+        grids = []
+        stride_vec = []
+
+        for lvl, (x, stride) in enumerate(zip(feats, self.strides)):
+            x = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype,
+                         name=f"stem_{lvl}")(x, train)
+
+            c = x
+            for i in range(2):
+                c = conv_cls(hidden, 3, 1, act=self.act, dtype=self.dtype,
+                             name=f"cls_conv_{lvl}_{i}")(c, train)
+            cls_out = nn.Conv(
+                self.num_classes, (1, 1), dtype=self.dtype,
+                param_dtype=jnp.float32, name=f"cls_pred_{lvl}",
+            )(c)
+
+            r = x
+            for i in range(2):
+                r = conv_cls(hidden, 3, 1, act=self.act, dtype=self.dtype,
+                             name=f"reg_conv_{lvl}_{i}")(r, train)
+            reg_out = nn.Conv(4, (1, 1), dtype=self.dtype,
+                              param_dtype=jnp.float32, name=f"reg_pred_{lvl}")(r)
+            obj_out = nn.Conv(1, (1, 1), dtype=self.dtype,
+                              param_dtype=jnp.float32, name=f"obj_pred_{lvl}")(r)
+
+            out = jnp.concatenate([reg_out, obj_out, cls_out], axis=-1)
+            b, h, w, ch = out.shape
+            level_outputs.append(out.reshape(b, h * w, ch))
+
+            ys, xs = jnp.meshgrid(
+                jnp.arange(h, dtype=jnp.float32),
+                jnp.arange(w, dtype=jnp.float32),
+                indexing="ij",
+            )
+            grids.append(jnp.stack([xs, ys], axis=-1).reshape(h * w, 2))
+            stride_vec.append(jnp.full((h * w,), stride, jnp.float32))
+
+        return {
+            "outputs": jnp.concatenate(level_outputs, axis=1).astype(jnp.float32),
+            "grids": jnp.concatenate(grids, axis=0),
+            "strides": jnp.concatenate(stride_vec, axis=0),
+        }
+
+
+def decode_outputs(
+    outputs: jnp.ndarray, grids: jnp.ndarray, strides: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode raw outputs to input-pixel space (reference decode_outputs:247).
+
+    Returns (boxes_cxcywh [.., A, 4], obj_logits [.., A], cls_logits [.., A, C]).
+    """
+    xy = (outputs[..., 0:2] + grids) * strides[..., None]
+    wh = jnp.exp(outputs[..., 2:4]) * strides[..., None]
+    boxes = jnp.concatenate([xy, wh], axis=-1)
+    return boxes, outputs[..., 4], outputs[..., 5:]
+
+
+def _geometry_prior(
+    grids: jnp.ndarray,
+    strides: jnp.ndarray,
+    gt_boxes_xyxy: jnp.ndarray,
+    center_radius: float = 2.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Center prior (reference get_in_boxes_info:549).
+
+    Returns (in_box [G, A], in_center [G, A]) for anchor centers vs gt boxes.
+    """
+    centers = (grids + 0.5) * strides[:, None]  # [A, 2]
+    cx, cy = centers[:, 0][None, :], centers[:, 1][None, :]  # [1, A]
+    x0, y0 = gt_boxes_xyxy[:, 0:1], gt_boxes_xyxy[:, 1:2]  # [G, 1]
+    x1, y1 = gt_boxes_xyxy[:, 2:3], gt_boxes_xyxy[:, 3:4]
+    in_box = (cx >= x0) & (cx <= x1) & (cy >= y0) & (cy <= y1)
+
+    gcx = (x0 + x1) * 0.5
+    gcy = (y0 + y1) * 0.5
+    r = center_radius * strides[None, :]
+    in_center = (
+        (cx >= gcx - r) & (cx <= gcx + r) & (cy >= gcy - r) & (cy <= gcy + r)
+    )
+    return in_box, in_center
+
+
+def simota_assign(
+    pred_boxes_cxcywh: jnp.ndarray,  # [A, 4]
+    obj_logits: jnp.ndarray,         # [A]
+    cls_logits: jnp.ndarray,         # [A, C]
+    grids: jnp.ndarray,              # [A, 2]
+    strides: jnp.ndarray,            # [A]
+    gt_boxes_xyxy: jnp.ndarray,      # [G, 4]
+    gt_classes: jnp.ndarray,         # [G] int32
+    gt_valid: jnp.ndarray,           # [G] bool
+    topk_candidates: int = 10,
+) -> Dict[str, jnp.ndarray]:
+    """Vectorized SimOTA for ONE image. All shapes static.
+
+    Returns fg_mask [A], matched_gt [A] (index into G), matched_iou [A],
+    and num_fg (scalar).
+    """
+    num_classes = cls_logits.shape[-1]
+    in_box, in_center = _geometry_prior(grids, strides, gt_boxes_xyxy)
+    candidate = (in_box | in_center) & gt_valid[:, None]  # [G, A]
+    both = in_box & in_center
+
+    pred_xyxy = cxcywh_to_xyxy(pred_boxes_cxcywh)
+    pair_iou = pairwise_box_iou(gt_boxes_xyxy, pred_xyxy)  # [G, A]
+    pair_iou = jnp.where(gt_valid[:, None], pair_iou, 0.0)
+    iou_cost = -jnp.log(pair_iou + 1e-8)
+
+    # classification cost: BCE(sqrt(cls_prob * obj_prob), onehot) summed over C
+    # (reference get_assignments:509-525, computed in f32, no grad)
+    joint = jnp.sqrt(
+        jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(obj_logits)[:, None]
+    )  # [A, C]
+    joint = jnp.clip(joint, 1e-8, 1.0 - 1e-8)
+    onehot = jax.nn.one_hot(gt_classes, num_classes)  # [G, C]
+    # BCE over probabilities: -t log p - (1-t) log(1-p), pairwise [G, A]
+    log_p = jnp.log(joint)          # [A, C]
+    log_1p = jnp.log1p(-joint)      # [A, C]
+    cls_cost = -(onehot @ log_p.T + (1.0 - onehot) @ log_1p.T)  # [G, A]
+
+    cost = (
+        cls_cost
+        + 3.0 * iou_cost
+        + BIG_COST * (~both).astype(jnp.float32)
+        + 10.0 * BIG_COST * (~candidate).astype(jnp.float32)
+    )
+
+    # dynamic-k: per gt, k = clamp(round(sum of top-10 candidate IoUs), 1..)
+    masked_iou = jnp.where(candidate, pair_iou, 0.0)
+    topk_ious = jax.lax.top_k(masked_iou, topk_candidates)[0]  # [G, k]
+    dynamic_ks = jnp.clip(
+        jnp.sum(topk_ious, axis=-1).astype(jnp.int32), min=1
+    )  # [G]
+
+    # per-gt: select its dynamic_k lowest-cost anchors via rank < k
+    order = jnp.argsort(cost, axis=-1)                       # [G, A]
+    ranks = jnp.argsort(order, axis=-1)                      # rank of each anchor
+    matching = (ranks < dynamic_ks[:, None]) & candidate     # [G, A] bool
+
+    # resolve anchors claimed by multiple gts: keep the min-cost gt
+    claims = jnp.sum(matching.astype(jnp.int32), axis=0)     # [A]
+    best_gt = jnp.argmin(jnp.where(matching, cost, jnp.inf), axis=0)  # [A]
+    multi = claims > 1
+    keep = jax.nn.one_hot(best_gt, matching.shape[0], dtype=bool).T  # [G, A]
+    matching = jnp.where(multi[None, :], matching & keep, matching)
+
+    fg_mask = jnp.any(matching, axis=0)                      # [A]
+    matched_gt = jnp.argmax(matching, axis=0)                # [A]
+    matched_iou = jnp.take_along_axis(
+        pair_iou, matched_gt[None, :], axis=0
+    )[0]
+    return {
+        "fg_mask": fg_mask,
+        "matched_gt": matched_gt,
+        "matched_iou": jnp.where(fg_mask, matched_iou, 0.0),
+        "num_fg": jnp.sum(fg_mask.astype(jnp.float32)),
+    }
+
+
+def yolox_losses(
+    head_out: Dict[str, jnp.ndarray],
+    gt_boxes_xyxy: jnp.ndarray,   # [B, G, 4]
+    gt_classes: jnp.ndarray,      # [B, G]
+    gt_valid: jnp.ndarray,        # [B, G]
+    num_classes: int,
+    use_l1: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Batch loss (reference get_losses:274; weights :431-432).
+
+    Assignment runs under stop_gradient (the reference computes it in
+    no_grad); losses are normalized by total foreground count across the
+    batch, matching the reference exactly.
+    """
+    outputs = head_out["outputs"]            # [B, A, 5+C]
+    grids = head_out["grids"]                # [A, 2]
+    strides = head_out["strides"]            # [A]
+    boxes_cxcywh, obj_logits, cls_logits = decode_outputs(outputs, grids, strides)
+
+    assign = jax.vmap(
+        lambda b, o, c, gb, gc, gv: simota_assign(
+            jax.lax.stop_gradient(b),
+            jax.lax.stop_gradient(o),
+            jax.lax.stop_gradient(c),
+            grids, strides, gb, gc, gv,
+        )
+    )(boxes_cxcywh, obj_logits, cls_logits, gt_boxes_xyxy, gt_classes, gt_valid)
+
+    fg = assign["fg_mask"]                   # [B, A]
+    matched_gt = assign["matched_gt"]        # [B, A]
+    matched_iou = assign["matched_iou"]      # [B, A]
+    num_fg = jnp.maximum(jnp.sum(assign["num_fg"]), 1.0)
+
+    tgt_boxes = jnp.take_along_axis(
+        gt_boxes_xyxy, matched_gt[..., None], axis=1
+    )  # [B, A, 4]
+    tgt_classes = jnp.take_along_axis(gt_classes, matched_gt, axis=1)  # [B, A]
+
+    fg_f = fg.astype(jnp.float32)
+
+    # IoU loss (weight 5.0, squared-IoU variant)
+    pred_xyxy = cxcywh_to_xyxy(boxes_cxcywh)
+    loss_iou = jnp.sum(
+        iou_loss(pred_xyxy, tgt_boxes, loss_type="iou") * fg_f
+    ) / num_fg
+
+    # objectness BCE over ALL anchors, target = fg indicator
+    loss_obj = jnp.sum(
+        sigmoid_binary_cross_entropy(obj_logits, fg_f)
+    ) / num_fg
+
+    # classification BCE on fg anchors, target = onehot * matched IoU
+    cls_target = (
+        jax.nn.one_hot(tgt_classes, num_classes)
+        * jax.lax.stop_gradient(matched_iou)[..., None]
+    )
+    loss_cls = jnp.sum(
+        sigmoid_binary_cross_entropy(cls_logits, cls_target)
+        * fg_f[..., None]
+    ) / num_fg
+
+    losses = {
+        "loss_iou": 5.0 * loss_iou,
+        "loss_obj": loss_obj,
+        "loss_cls": loss_cls,
+    }
+
+    if use_l1:
+        # L1 on raw reg outputs vs encoded targets (reference get_l1_target)
+        tgt_cxcywh = jnp.concatenate(
+            [
+                (tgt_boxes[..., 0:2] + tgt_boxes[..., 2:4]) * 0.5,
+                tgt_boxes[..., 2:4] - tgt_boxes[..., 0:2],
+            ],
+            axis=-1,
+        )
+        l1_target = jnp.concatenate(
+            [
+                tgt_cxcywh[..., 0:2] / strides[..., None] - grids,
+                jnp.log(tgt_cxcywh[..., 2:4] / strides[..., None] + 1e-8),
+            ],
+            axis=-1,
+        )
+        loss_l1 = jnp.sum(
+            jnp.abs(outputs[..., 0:4] - l1_target) * fg_f[..., None]
+        ) / num_fg
+        losses["loss_l1"] = loss_l1
+
+    losses["total_loss"] = sum(losses.values())
+    losses["num_fg"] = num_fg
+    return losses

@@ -1,0 +1,261 @@
+"""Convolutional vocabulary shared by all YOLO-family parts.
+
+Parity with /root/reference/yolov7/modeling/backbone/layers/wrappers.py
+(BaseConv:60, DWConv:86, Bottleneck:105, SPPBottleneck:142, CSPLayer:165,
+Focus:202) and activations.py — redesigned TPU-first:
+
+  * NHWC layout end-to-end (TPU conv layout; torch is NCHW).
+  * bf16 compute / f32 params via the ``dtype`` / ``param_dtype`` pattern;
+    BatchNorm statistics always accumulate in f32.
+  * BN defaults match YOLOX (eps=1e-3, torch momentum 0.03 -> flax 0.97,
+    cf. reference yolox.py:85-90) so ported weights behave identically.
+  * Focus (space-to-depth patchify) is a reshape/transpose XLA fuses away.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_MOMENTUM = 0.97  # = 1 - torch 0.03
+BN_EPS = 1e-3
+
+
+def get_activation(name: str = "silu") -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation lookup (reference layers/utils.py:45 get_activation)."""
+    if name in ("silu", "swish"):
+        return nn.silu
+    if name == "relu":
+        return nn.relu
+    if name == "lrelu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.1)
+    if name == "gelu":
+        return nn.gelu
+    if name in ("identity", "none", ""):
+        return lambda x: x
+    raise ValueError(f"Unsupported activation: {name}")
+
+
+class BaseConv(nn.Module):
+    """Conv2d + BatchNorm + activation ("CBS" block, wrappers.py:60)."""
+
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    groups: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = (self.ksize - 1) // 2
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(self.ksize, self.ksize),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return get_activation(self.act)(x).astype(self.dtype)
+
+
+class DWConv(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 (wrappers.py:86)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = BaseConv(
+            in_ch, self.ksize, self.stride, groups=in_ch, act=self.act,
+            dtype=self.dtype, name="dconv",
+        )(x, train)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.act, dtype=self.dtype, name="pconv"
+        )(x, train)
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce -> 3x3, optional residual (wrappers.py:105)."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.out_channels * self.expansion)
+        y = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+            x, train
+        )
+        conv2_cls = DWConv if self.depthwise else BaseConv
+        y = conv2_cls(
+            self.out_channels, 3, 1, act=self.act, dtype=self.dtype, name="conv2"
+        )(y, train)
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            y = y + x
+        return y
+
+
+class SPPBottleneck(nn.Module):
+    """Spatial pyramid pooling block (wrappers.py:142): 1x1 -> parallel
+    maxpools (5/9/13) -> concat -> 1x1."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = x.shape[-1] // 2
+        x = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+            x, train
+        )
+        pools = [x]
+        for k in self.kernel_sizes:
+            p = k // 2
+            pools.append(
+                nn.max_pool(
+                    x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)]
+                )
+            )
+        x = jnp.concatenate(pools, axis=-1)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.act, dtype=self.dtype, name="conv2"
+        )(x, train)
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage-partial block ("C3", wrappers.py:165): split into two 1x1
+    branches, run ``n`` bottlenecks on one, concat, fuse 1x1."""
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.out_channels * self.expansion)
+        x1 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+            x, train
+        )
+        x2 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv2")(
+            x, train
+        )
+        for i in range(self.n):
+            x1 = Bottleneck(
+                hidden,
+                shortcut=self.shortcut,
+                expansion=1.0,
+                depthwise=self.depthwise,
+                act=self.act,
+                dtype=self.dtype,
+                name=f"m_{i}",
+            )(x1, train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.act, dtype=self.dtype, name="conv3"
+        )(x, train)
+
+
+class Focus(nn.Module):
+    """Patchify stem (wrappers.py:202): space-to-depth 2x2 then conv.
+
+    On TPU the pixel-shuffle is a pure reshape/transpose that XLA folds into
+    the following convolution's input layout.
+    """
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # order (tl, bl, tr, br) matches the torch cat order in the reference
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # reorder channel groups to (patch_tl, patch_bl, patch_tr, patch_br)
+        # to match the reference's torch.cat order for weight porting
+        x = jnp.concatenate(
+            [
+                x[..., 0 * c : 1 * c],  # (0,0)
+                x[..., 2 * c : 3 * c],  # (1,0)
+                x[..., 1 * c : 2 * c],  # (0,1)
+                x[..., 3 * c : 4 * c],  # (1,1)
+            ],
+            axis=-1,
+        )
+        return BaseConv(
+            self.out_channels, self.ksize, self.stride, act=self.act,
+            dtype=self.dtype, name="conv",
+        )(x, train)
+
+
+class RepVGGBlock(nn.Module):
+    """Re-parameterizable conv block (YOLOv6 EfficientRep vocabulary,
+    reference efficientrep.py). Train-time: 3x3 + 1x1 + identity branches;
+    deploy-time fusion happens in the checkpoint utils."""
+
+    out_channels: int
+    stride: int = 1
+    act: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        y = nn.Conv(
+            self.out_channels, (3, 3), (self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="rbr_dense_conv",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=jnp.float32, name="rbr_dense_bn",
+        )(y)
+        z = nn.Conv(
+            self.out_channels, (1, 1), (self.stride, self.stride),
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name="rbr_1x1_conv",
+        )(x)
+        z = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=jnp.float32, name="rbr_1x1_bn",
+        )(z)
+        out = y + z
+        if self.stride == 1 and in_ch == self.out_channels:
+            idt = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=jnp.float32, name="rbr_identity_bn",
+            )(x)
+            out = out + idt
+        return get_activation(self.act)(out).astype(self.dtype)

@@ -1,0 +1,159 @@
+"""YOLOX meta-architecture.
+
+Parity with /root/reference/yolov7/modeling/meta_arch/yolox.py:36 —
+CSPDarknet-X + YOLOPAFPN + YOLOXHead hardwired (:68-70), train returns a loss
+dict, eval decodes + class-aware NMS and returns fixed-shape Detections
+(the reference's ``[{"instances": Instances}]`` contract with Instances
+replaced by masked pytrees).
+
+TPU redesign notes:
+  * ``preprocess_image`` (device move + ImageList padding, reference :95-157)
+    happens in the host data pipeline: batches arrive as dense NHWC arrays
+    letterboxed to the static INPUT.INPUT_SIZE with pad value 114, plus dense
+    ``[B, G]`` masked labels — so the whole model is one jitted function.
+  * The L1-loss enable broadcast (reference :105-121, a ``dist.broadcast``)
+    is a deterministic function of the step counter passed in by the trainer;
+    no collective needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolov7_d2_tpu.core.registry import META_ARCH_REGISTRY
+from yolov7_d2_tpu.models.backbones.darknetx import CSPDarknetX
+from yolov7_d2_tpu.models.heads.yolox_head import (
+    YOLOXHead,
+    decode_outputs,
+    yolox_losses,
+)
+from yolov7_d2_tpu.models.necks.yolo_pafpn import YOLOPAFPN
+from yolov7_d2_tpu.ops.nms import batched_nms
+from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
+from yolov7_d2_tpu.structures.instances import Detections
+
+
+class YOLOX(nn.Module):
+    """backbone -> neck -> head; returns raw head outputs (+grids/strides)."""
+
+    num_classes: int = 80
+    depth_mul: float = 0.33
+    width_mul: float = 0.50
+    in_features: Sequence[str] = ("dark3", "dark4", "dark5")
+    depthwise: bool = False
+    act: str = "silu"
+    normalize_input: bool = False  # MODEL.YOLO.NORMALIZE_INPUT
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        x = images.astype(self.dtype)
+        if self.normalize_input:
+            x = x / 255.0
+        feats = CSPDarknetX(
+            dep_mul=self.depth_mul,
+            wid_mul=self.width_mul,
+            out_features=self.in_features,
+            depthwise=self.depthwise,
+            act=self.act,
+            dtype=self.dtype,
+            name="backbone",
+        )(x, train)
+        fpn_outs = YOLOPAFPN(
+            depth=self.depth_mul,
+            width=self.width_mul,
+            depthwise=self.depthwise,
+            act=self.act,
+            dtype=self.dtype,
+            name="neck",
+        )([feats[f] for f in self.in_features], train)
+        return YOLOXHead(
+            num_classes=self.num_classes,
+            width=self.width_mul,
+            depthwise=self.depthwise,
+            act=self.act,
+            dtype=self.dtype,
+            name="head",
+        )(fpn_outs, train)
+
+
+def yolox_loss_fn(
+    head_out: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    num_classes: int,
+    use_l1: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    return yolox_losses(
+        head_out,
+        batch["gt_boxes"],
+        batch["gt_classes"],
+        batch["gt_valid"],
+        num_classes,
+        use_l1=use_l1,
+    )
+
+
+def yolox_postprocess(
+    head_out: Dict[str, jnp.ndarray],
+    conf_threshold: float = 0.01,
+    nms_threshold: float = 0.65,
+    max_detections: int = 100,
+    pre_nms_topk: int = 1024,
+) -> Detections:
+    """Decode + confidence filter + class-aware NMS, batched, static shapes.
+
+    Mirrors ``postprocess`` (reference utils/boxes.py:171-210): score =
+    obj * best-class prob, candidates below ``conf_threshold`` are masked,
+    NMS runs class-aware on the top ``pre_nms_topk`` candidates.
+    """
+    boxes_cxcywh, obj_logits, cls_logits = decode_outputs(
+        head_out["outputs"], head_out["grids"], head_out["strides"]
+    )
+    boxes = cxcywh_to_xyxy(boxes_cxcywh)              # [B, A, 4]
+    obj = jax.nn.sigmoid(obj_logits)                  # [B, A]
+    cls_prob = jax.nn.sigmoid(cls_logits)             # [B, A, C]
+    best_cls = jnp.argmax(cls_prob, axis=-1)          # [B, A]
+    best_prob = jnp.max(cls_prob, axis=-1)            # [B, A]
+    scores = obj * best_prob
+    scores = jnp.where(scores >= conf_threshold, scores, 0.0)
+
+    # pre-NMS top-k keeps the NMS candidate set small and static
+    top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)   # [B, K]
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
+
+    def _one(b, s, c):
+        keep_idx, keep_valid = batched_nms(
+            b, s, c, nms_threshold, max_detections
+        )
+        sel = jnp.clip(keep_idx, 0)
+        return Detections(
+            boxes=b[sel],
+            scores=jnp.where(keep_valid, s[sel], 0.0),
+            classes=c[sel].astype(jnp.int32),
+            valid=keep_valid,
+        )
+
+    return jax.vmap(_one)(top_boxes, top_scores, top_cls)
+
+
+@META_ARCH_REGISTRY.register(name="YOLOX")
+def build_yolox(cfg, dtype: Optional[Any] = None):
+    dtype = dtype or (
+        jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32
+    )
+    return YOLOX(
+        num_classes=cfg.MODEL.YOLO.CLASSES,
+        depth_mul=cfg.MODEL.YOLO.DEPTH_MUL,
+        width_mul=cfg.MODEL.YOLO.WIDTH_MUL,
+        in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
+        depthwise=cfg.MODEL.DARKNET.DEPTH_WISE,
+        normalize_input=cfg.MODEL.YOLO.NORMALIZE_INPUT,
+        dtype=dtype,
+    )
