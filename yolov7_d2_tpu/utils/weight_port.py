@@ -1,0 +1,192 @@
+"""Weight-porting shim: reference PyTorch checkpoints -> flax variables.
+
+BASELINE requires COCO mAP within 0.3 of the reference *through this shim*
+(SURVEY.md §5 checkpoint/resume). It handles:
+  * tensor layout: torch conv [O, I, kH, kW] -> flax [kH, kW, I, O];
+    linear [O, I] -> [I, O]; depthwise conv grouping
+  * BN split: torch weight/bias/running_mean/running_var ->
+    flax params (scale, bias) + batch_stats (mean, var)
+  * name translation: the reference YOLOX module tree
+    (meta_arch/yolox.py:60-70 ``backbone``/``neck``/``head``, darknetx.py
+    Sequential indices, yolox_head.py tower lists) -> our flax module paths.
+
+Works on plain numpy arrays so checkpoints can be loaded with
+``torch.load(map_location='cpu')`` or pickle without a GPU torch build.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def convert_conv_weight(w: np.ndarray) -> np.ndarray:
+    """[O, I, kH, kW] -> [kH, kW, I, O]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_linear_weight(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# name translation: reference-torch -> our flax path
+# ---------------------------------------------------------------------------
+
+def _csp_inner(rest: str) -> str:
+    """CSPLayer inner names: 'm.0.conv1.conv' -> 'm_0/conv1/conv'."""
+    rest = re.sub(r"^m\.(\d+)\.", r"m_\1/", rest)
+    return rest.replace(".", "/")
+
+
+def map_yolox_torch_name(name: str) -> Tuple[str, ...]:
+    """Translate a reference YOLOX state-dict key (without the trailing
+    parameter name) into our flax module path parts.
+
+    Examples:
+      backbone.stem.conv.conv        -> backbone/stem/conv/conv
+      backbone.dark2.0.conv          -> backbone/dark2_conv/conv
+      backbone.dark2.1.conv1.conv    -> backbone/dark2_csp/conv1/conv
+      backbone.dark5.1.conv1.conv    -> backbone/dark5_spp/conv1/conv
+      neck.C3_p4.m.0.conv1.conv      -> neck/C3_p4/m_0/conv1/conv
+      head.cls_convs.0.1.conv        -> head/cls_conv_0_1/conv
+      head.cls_preds.0               -> head/cls_pred_0
+      head.stems.0.conv              -> head/stem_0/conv
+    """
+    # backbone.stem.conv.X -> backbone/stem/conv/X
+    m = re.match(r"^backbone\.stem\.(.*)$", name)
+    if m:
+        return tuple(f"backbone/stem/{m.group(1)}".replace(".", "/").split("/"))
+
+    # backbone.darkN.<idx>...
+    m = re.match(r"^backbone\.dark(\d)\.(\d+)\.(.*)$", name)
+    if m:
+        lvl, idx, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        if lvl == 5:
+            part = {0: "dark5_conv", 1: "dark5_spp", 2: "dark5_csp"}[idx]
+        else:
+            part = {0: f"dark{lvl}_conv", 1: f"dark{lvl}_csp"}[idx]
+        return tuple(f"backbone/{part}/{_csp_inner(rest)}".split("/"))
+
+    # neck.<name>.rest — module names match ours 1:1
+    m = re.match(
+        r"^neck\.(lateral_conv0|reduce_conv1|bu_conv1|bu_conv2|"
+        r"C3_p4|C3_p3|C3_n3|C3_n4)\.(.*)$",
+        name,
+    )
+    if m:
+        return tuple(f"neck/{m.group(1)}/{_csp_inner(m.group(2))}".split("/"))
+
+    # head towers: lists indexed by level
+    m = re.match(r"^head\.stems\.(\d+)\.(.*)$", name)
+    if m:
+        return tuple(
+            f"head/stem_{m.group(1)}/{m.group(2)}".replace(".", "/").split("/")
+        )
+    m = re.match(r"^head\.(cls|reg)_convs\.(\d+)\.(\d+)\.(.*)$", name)
+    if m:
+        kind, lvl, j, rest = m.groups()
+        return tuple(
+            f"head/{kind}_conv_{lvl}_{j}/{rest}".replace(".", "/").split("/")
+        )
+    m = re.match(r"^head\.(cls|reg|obj)_preds\.(\d+)$", name)
+    if m:
+        return (f"head", f"{m.group(1)}_pred_{m.group(2)}")
+
+    # fallthrough: dots to slashes
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def port_torch_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    variables: Dict[str, Any],
+    name_mapper=map_yolox_torch_name,
+    strict: bool = False,
+) -> Tuple[Dict[str, Any], Dict[str, list]]:
+    """Pour a torch state dict into a flax ``variables`` template.
+
+    Returns (new_variables, report) where report lists 'ported',
+    'missing' (template leaves untouched) and 'unused' (torch keys unmatched).
+    """
+    import jax
+
+    params = jax.tree.map(np.asarray, variables["params"])
+    batch_stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    ported, unused = [], []
+
+    def set_in(tree, path, value) -> bool:
+        node = tree
+        for p in path[:-1]:
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        leaf = path[-1]
+        if not isinstance(node, dict) or leaf not in node:
+            return False
+        if node[leaf].shape != value.shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{node[leaf].shape} vs {value.shape}"
+            )
+        node[leaf] = value.astype(node[leaf].dtype)
+        return True
+
+    for key, tensor in state_dict.items():
+        t = np.asarray(tensor)
+        if key.endswith("num_batches_tracked"):
+            continue
+        module_name, _, leaf = key.rpartition(".")
+        if leaf == "weight" and t.ndim == 4:
+            path = name_mapper(module_name) + ("kernel",)
+            t = convert_conv_weight(t)
+            ok = set_in(params, path, t)
+        elif leaf == "weight" and t.ndim == 2:
+            path = name_mapper(module_name) + ("kernel",)
+            ok = set_in(params, path, convert_linear_weight(t))
+        elif leaf == "weight" and t.ndim == 1:  # BN gamma
+            path = name_mapper(module_name) + ("scale",)
+            ok = set_in(params, path, t)
+        elif leaf == "bias":
+            path = name_mapper(module_name) + ("bias",)
+            ok = set_in(params, path, t)
+        elif leaf == "running_mean":
+            path = name_mapper(module_name) + ("mean",)
+            ok = set_in(batch_stats, path, t)
+        elif leaf == "running_var":
+            path = name_mapper(module_name) + ("var",)
+            ok = set_in(batch_stats, path, t)
+        else:
+            ok = False
+        (ported if ok else unused).append(key)
+
+    if strict and unused:
+        raise KeyError(f"unmatched torch keys: {unused[:20]}")
+
+    new_vars = {"params": params}
+    if batch_stats:
+        new_vars["batch_stats"] = batch_stats
+    report = {"ported": ported, "unused": unused}
+    return new_vars, report
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.pkl checkpoint to numpy (torch cpu or pickle)."""
+    try:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except ImportError:  # pragma: no cover
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+    if isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        out[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return out
