@@ -1,0 +1,204 @@
+"""Anchor-based YOLO meta-architectures: YOLO (v3) and YOLOV7 (flagship).
+
+Parity with:
+  * ``YOLO`` — /root/reference/yolov7/modeling/meta_arch/yolo.py:31
+    (darknet + YOLOFPN + anchor head, v3 decode)
+  * ``YOLOV7`` — meta_arch/yolov7.py:56 (any registered backbone, FPN/PAFPN
+    neck select :125-164, anchor head with the v4/v7 CIoU loss branch
+    :546-604, v5-style ratio targets optional via
+    MODEL.YOLO.LOSS.BUILD_TARGET_TYPE).
+
+The reference's multi-size-training ``dist.broadcast`` (yolo.py:131-146) is
+unnecessary here: input sizes are static per compile, multi-scale training
+means cycling through a small set of pre-compiled shapes from the host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY, META_ARCH_REGISTRY
+from yolov7_d2_tpu.models.backbones.darknet import Darknet53
+from yolov7_d2_tpu.models.backbones.darknetx import CSPDarknetX
+from yolov7_d2_tpu.models.heads.anchor_yolo_head import (
+    AnchorYOLOHead,
+    anchor_yolo_losses,
+    decode_anchor_outputs,
+    flatten_anchor_outputs,
+)
+from yolov7_d2_tpu.models.necks.yolo_fpn import YOLOFPN
+from yolov7_d2_tpu.models.necks.yolo_pafpn import YOLOPAFPN
+from yolov7_d2_tpu.ops.nms import batched_nms
+from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
+from yolov7_d2_tpu.structures.instances import Detections
+
+LEVEL_STRIDES = (8, 16, 32)
+
+
+class AnchorYOLO(nn.Module):
+    """backbone -> neck -> anchor head; returns flattened outputs + metadata."""
+
+    num_classes: int = 80
+    anchors: Tuple = (
+        ((10, 13), (16, 30), (33, 23)),      # stride 8 (shallow)
+        ((30, 61), (62, 45), (42, 119)),     # stride 16
+        ((116, 90), (156, 198), (373, 326)),  # stride 32
+    )
+    backbone_type: str = "darknet53"   # darknet53 | cspdarknet53 | cspdarknetx
+    neck_type: str = "yolov3"          # yolov3(fpn) | pafpn
+    in_features: Sequence[str] = ("dark3", "dark4", "dark5")
+    with_spp: bool = False
+    width_mul: float = 1.0
+    depth_mul: float = 1.0
+    act: str = "lrelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        x = images.astype(self.dtype)
+        if self.backbone_type == "cspdarknetx":
+            feats = CSPDarknetX(
+                dep_mul=self.depth_mul, wid_mul=self.width_mul,
+                out_features=self.in_features, act="silu",
+                dtype=self.dtype, name="backbone",
+            )(x, train)
+        else:
+            feats = Darknet53(
+                out_features=self.in_features,
+                with_csp=(self.backbone_type == "cspdarknet53"),
+                act=self.act, dtype=self.dtype, name="backbone",
+            )(x, train)
+        feat_list = [feats[f] for f in self.in_features]
+        if self.neck_type == "pafpn":
+            neck_out = YOLOPAFPN(
+                depth=self.depth_mul, width=self.width_mul,
+                act="silu", dtype=self.dtype, name="neck",
+            )(feat_list, train)
+        else:
+            neck_out = YOLOFPN(
+                with_spp=self.with_spp, act=self.act, dtype=self.dtype,
+                name="neck",
+            )(feat_list, train)
+        level_outputs = AnchorYOLOHead(
+            num_classes=self.num_classes, act=self.act, dtype=self.dtype,
+            name="head",
+        )(neck_out, train)
+        flat = flatten_anchor_outputs(level_outputs, self.anchors, LEVEL_STRIDES)
+        flat["level_hw"] = tuple(
+            (o.shape[1], o.shape[2]) for o in level_outputs
+        )
+        return flat
+
+
+def anchor_yolo_loss_fn(
+    flat: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    anchors: np.ndarray,
+    num_classes: int,
+    variant: str = "yolov7",
+    build_target_type: str = "default",
+    iou_type: str = "ciou",
+    ignore_threshold: float = 0.7,
+) -> Dict[str, jnp.ndarray]:
+    return anchor_yolo_losses(
+        flat,
+        batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+        anchors=anchors,
+        level_hw=flat["level_hw"],
+        level_strides=LEVEL_STRIDES,
+        num_classes=num_classes,
+        variant=variant,
+        build_target_type=build_target_type,
+        iou_type=iou_type,
+        ignore_threshold=ignore_threshold,
+    )
+
+
+def anchor_yolo_postprocess(
+    flat: Dict[str, jnp.ndarray],
+    variant: str = "yolov7",
+    conf_threshold: float = 0.01,
+    nms_threshold: float = 0.5,
+    max_detections: int = 100,
+    pre_nms_topk: int = 1024,
+) -> Detections:
+    """Decode + obj*cls confidence + class-aware NMS (reference
+    utils/boxes.py postprocess / postprocessv5)."""
+    boxes_cxcywh, obj_logits, cls_logits = decode_anchor_outputs(flat, variant)
+    boxes = cxcywh_to_xyxy(boxes_cxcywh)
+    obj = jax.nn.sigmoid(obj_logits)
+    cls_prob = jax.nn.sigmoid(cls_logits)
+    best_cls = jnp.argmax(cls_prob, axis=-1)
+    scores = obj * jnp.max(cls_prob, axis=-1)
+    scores = jnp.where(scores >= conf_threshold, scores, 0.0)
+
+    top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
+
+    def _one(b, s, c):
+        keep_idx, keep_valid = batched_nms(b, s, c, nms_threshold, max_detections)
+        sel = jnp.clip(keep_idx, 0)
+        return Detections(
+            boxes=b[sel],
+            scores=jnp.where(keep_valid, s[sel], 0.0),
+            classes=c[sel].astype(jnp.int32),
+            valid=keep_valid,
+        )
+
+    return jax.vmap(_one)(top_boxes, top_scores, top_cls)
+
+
+def _anchors_from_cfg(cfg) -> Tuple:
+    """MODEL.YOLO.ANCHORS is deep-to-shallow in the reference; our level
+    order is shallow-to-deep (stride 8, 16, 32)."""
+    return tuple(
+        tuple(tuple(a) for a in lvl) for lvl in reversed(cfg.MODEL.YOLO.ANCHORS)
+    )
+
+
+_BACKBONE_NAME_MAP = {
+    "build_darknet_backbone": "darknet53",
+    "build_cspdarknet_backbone": "cspdarknet53",
+    "build_cspdarknetx_backbone": "cspdarknetx",
+}
+
+
+@META_ARCH_REGISTRY.register(name="YOLO")
+def build_yolo(cfg, dtype: Optional[Any] = None):
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    return AnchorYOLO(
+        num_classes=cfg.MODEL.YOLO.CLASSES,
+        anchors=_anchors_from_cfg(cfg),
+        backbone_type="cspdarknet53" if cfg.MODEL.DARKNET.WITH_CSP else "darknet53",
+        neck_type="yolov3",
+        in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
+        with_spp=cfg.MODEL.YOLO.NECK.WITH_SPP,
+        dtype=dtype,
+    )
+
+
+@META_ARCH_REGISTRY.register(name="YOLOV7")
+def build_yolov7(cfg, dtype: Optional[Any] = None):
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    bb = _BACKBONE_NAME_MAP.get(cfg.MODEL.BACKBONE.NAME, "cspdarknet53")
+    neck = "pafpn" if cfg.MODEL.YOLO.NECK.TYPE == "pafpn" else "yolov3"
+    return AnchorYOLO(
+        num_classes=cfg.MODEL.YOLO.CLASSES,
+        anchors=_anchors_from_cfg(cfg),
+        backbone_type=bb,
+        neck_type=neck,
+        in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
+        with_spp=cfg.MODEL.YOLO.NECK.WITH_SPP,
+        width_mul=cfg.MODEL.YOLO.WIDTH_MUL,
+        depth_mul=cfg.MODEL.YOLO.DEPTH_MUL,
+        act="silu",
+        dtype=dtype,
+    )
