@@ -78,13 +78,21 @@ def densify(
 
 
 class SimpleDatasetMapper:
-    """Resize + flip + letterbox; used for eval and plain training."""
+    """Resize + flip + letterbox; used for eval and plain training.
 
-    def __init__(self, cfg, is_train: bool = True, seed: int = 0):
+    ``with_masks=True`` additionally rasterizes polygon segmentations into
+    dense ``[max_boxes, H, W]`` binary masks tracked through the same
+    geometry (the SparseInst / SOLOv2 data path)."""
+
+    def __init__(
+        self, cfg, is_train: bool = True, seed: int = 0,
+        with_masks: bool = False,
+    ):
         self.is_train = is_train
         self.input_size = tuple(cfg.INPUT.INPUT_SIZE)
         self.max_boxes = cfg.MODEL.YOLO.MAX_BOXES_NUM
         self.pad_value = int(cfg.MODEL.PADDED_VALUE)
+        self.with_masks = with_masks
         self.flip_prob = (
             cfg.INPUT.RANDOM_FLIP_HORIZONTAL.PROB
             if cfg.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED and is_train
@@ -92,15 +100,48 @@ class SimpleDatasetMapper:
         )
         self.rng = np.random.default_rng(seed)
 
+    def _rasterize_masks(self, record: dict, flip: bool):
+        from yolov7_d2_tpu.evaluation.coco_eval import polygons_to_mask
+
+        h0 = record.get("height")
+        w0 = record.get("width")
+        masks = []
+        for ann in record.get("annotations", []):
+            if ann.get("iscrowd", 0):
+                continue
+            seg = ann.get("segmentation")
+            if seg and isinstance(seg, list):
+                m = polygons_to_mask(seg, h0, w0).astype(np.uint8)
+            else:
+                m = np.zeros((h0, w0), np.uint8)
+            if flip:
+                m = m[:, ::-1]
+            masks.append(m)
+        return masks
+
     def __call__(self, record: dict) -> Dict[str, np.ndarray]:
         img = read_image_bgr(record["file_name"])
         boxes, classes = annotations_to_arrays(record)
-        if self.is_train and self.rng.random() < self.flip_prob:
+        flip = self.is_train and self.rng.random() < self.flip_prob
+        if flip:
             img, boxes = A.hflip(img, boxes)
         img, boxes, scale = A.letterbox(
             img, boxes, self.input_size, self.pad_value
         )
         sample = densify(boxes, classes, self.max_boxes)
+        if self.with_masks:
+            th, tw = self.input_size
+            dense = np.zeros((self.max_boxes, th, tw), np.uint8)
+            for i, m in enumerate(self._rasterize_masks(record, flip)):
+                if i >= self.max_boxes:
+                    break
+                nh = round(m.shape[0] * scale)
+                nw = round(m.shape[1] * scale)
+                rm = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+                dense[i, : min(nh, th), : min(nw, tw)] = rm[
+                    : min(nh, th), : min(nw, tw)
+                ]
+            sample["gt_masks"] = dense
         sample["image"] = np.ascontiguousarray(img, np.float32)
         sample["image_id"] = np.asarray(record.get("image_id", 0), np.int64)
         sample["scale"] = np.asarray(scale, np.float32)

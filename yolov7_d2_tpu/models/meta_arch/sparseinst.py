@@ -1,0 +1,420 @@
+"""SparseInst — NMS-free instance segmentation.
+
+Parity with the reference stack:
+  * ``InstanceContextEncoder`` (FPN + PPM + fused single 1/8 feature) —
+    /root/reference/yolov7/modeling/transcoders/encoder_sparseinst.py:73-127
+  * ``BaseIAMDecoder`` / ``GroupIAMDecoder`` (instance activation maps,
+    inst/mask branches, kernel prediction) —
+    transcoders/decoder_sparseinst.py:27-246
+  * ``SparseInstMatcher`` (dice^α · prob^β cost, Hungarian) +
+    ``SparseInstCriterion`` (focal CE + dice + pixel BCE + IoU-aware
+    objectness) — loss/sparseinst_loss.py:49-365
+  * meta-arch forward/inference — meta_arch/sparseinst.py:55-342.
+
+TPU redesign: the scipy LSAP host round-trip inside the step
+(sparseinst_loss.py:305-350) becomes the on-device auction matcher
+(ops/matchers.py); inference is NMS-free top-k with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolov7_d2_tpu.core.registry import META_ARCH_REGISTRY
+from yolov7_d2_tpu.models.backbones.resnet import ResNet
+from yolov7_d2_tpu.models.necks.yolo_pafpn import upsample2x_nearest
+from yolov7_d2_tpu.ops.losses import (
+    dice_loss,
+    dice_score,
+    sigmoid_binary_cross_entropy,
+    sigmoid_focal_loss,
+)
+from yolov7_d2_tpu.ops.matchers import hungarian_match
+from yolov7_d2_tpu.structures.instances import Detections
+
+
+class PyramidPoolingModule(nn.Module):
+    """PPM on C5 (encoder_sparseinst.py PPM): multi-scale adaptive avg-pool
+    -> 1x1 conv -> upsample -> concat -> fuse."""
+
+    channels: int
+    pool_sizes: Sequence[int] = (1, 2, 3, 6)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        outs = [x]
+        for i, ps in enumerate(self.pool_sizes):
+            # adaptive average pool to (ps, ps); degenerate tiny inputs
+            # (h < ps, tests only) fall back to 1x1 windows
+            kh, kw = max(h // ps, 1), max(w // ps, 1)
+            p = nn.avg_pool(x, (kh, kw), (kh, kw))
+            p = nn.Conv(self.channels // 4, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"pool_conv_{i}")(p)
+            p = nn.relu(p)
+            p = jax.image.resize(p, (b, h, w, p.shape[-1]), "bilinear")
+            outs.append(p.astype(self.dtype))
+        x = jnp.concatenate(outs, axis=-1)
+        x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, param_dtype=jnp.float32, name="fuse")(x)
+        return nn.relu(x)
+
+
+class InstanceContextEncoder(nn.Module):
+    """FPN over (res3, res4, res5) + PPM on res5, fused to one 1/8 map."""
+
+    channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        c3, c4, c5 = feats
+        p5 = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="lateral5")(c5)
+        p5 = PyramidPoolingModule(self.channels, dtype=self.dtype,
+                                  name="ppm")(p5)
+        p4 = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="lateral4")(c4)
+        p4 = p4 + upsample2x_nearest(p5)
+        p3 = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="lateral3")(c3)
+        p3 = p3 + upsample2x_nearest(p4)
+        # output convs then upsample-add fusion at 1/8
+        o5 = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                     dtype=self.dtype, param_dtype=jnp.float32,
+                     name="out5")(p5)
+        o4 = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                     dtype=self.dtype, param_dtype=jnp.float32,
+                     name="out4")(p4)
+        o3 = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                     dtype=self.dtype, param_dtype=jnp.float32,
+                     name="out3")(p3)
+        b, h, w, _ = o3.shape
+        fused = (
+            o3
+            + jax.image.resize(o4, (b, h, w, self.channels), "bilinear")
+            + jax.image.resize(o5, (b, h, w, self.channels), "bilinear")
+        )
+        fused = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="fusion")(fused)
+        return fused.astype(self.dtype)
+
+
+def coord_features(x: jnp.ndarray) -> jnp.ndarray:
+    """Append normalized (x, y) coordinate channels (decoder coord-conv)."""
+    b, h, w, _ = x.shape
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.broadcast_to(
+        jnp.stack([xx, yy], axis=-1)[None], (b, h, w, 2)
+    ).astype(x.dtype)
+    return jnp.concatenate([x, coords], axis=-1)
+
+
+class IAMDecoder(nn.Module):
+    """Instance-activation-map decoder (Base & Group variants)."""
+
+    num_masks: int = 100
+    num_classes: int = 80
+    kernel_dim: int = 128
+    inst_dim: int = 256
+    inst_convs: int = 4
+    mask_dim: int = 256
+    mask_convs: int = 4
+    groups: int = 1             # 1 = BaseIAMDecoder, 4 = GroupIAMDecoder
+    scale_factor: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        b, h, w, _ = features.shape
+        x = coord_features(features)
+
+        # instance branch
+        y = x
+        for i in range(self.inst_convs):
+            y = nn.Conv(self.inst_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"inst_conv_{i}")(y)
+            y = nn.relu(y)
+        # IAM: G*N activation maps
+        iam = nn.Conv(
+            self.num_masks * self.groups, (3, 3), padding=[(1, 1), (1, 1)],
+            feature_group_count=self.groups,
+            dtype=self.dtype, param_dtype=jnp.float32, name="iam_conv",
+        )(y)
+        iam_prob = jax.nn.sigmoid(iam.astype(jnp.float32))   # [B,H,W,G*N]
+        iam_flat = iam_prob.reshape(b, h * w, -1).transpose(0, 2, 1)
+        # normalize each map, aggregate features: [B, G*N, C]
+        norm = jnp.sum(iam_flat, axis=-1, keepdims=True) + 1e-6
+        inst = jnp.einsum(
+            "bnp,bpc->bnc", iam_flat / norm,
+            y.reshape(b, h * w, -1).astype(jnp.float32),
+        )
+        if self.groups > 1:
+            # concat group features per instance (decoder_sparseinst.py:237)
+            inst = inst.reshape(b, self.groups, self.num_masks, -1)
+            inst = inst.transpose(0, 2, 1, 3).reshape(b, self.num_masks, -1)
+            inst = nn.Dense(self.inst_dim, param_dtype=jnp.float32,
+                            name="fc")(inst)
+            inst = nn.relu(inst)
+
+        cls_logits = nn.Dense(self.num_classes, param_dtype=jnp.float32,
+                              name="cls_score")(inst)
+        kernels = nn.Dense(self.kernel_dim, param_dtype=jnp.float32,
+                           name="mask_kernel")(inst)
+        obj_logits = nn.Dense(1, param_dtype=jnp.float32,
+                              name="objectness")(inst)[..., 0]
+
+        # mask branch
+        m = x
+        for i in range(self.mask_convs):
+            m = nn.Conv(self.mask_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"mask_conv_{i}")(m)
+            m = nn.relu(m)
+        mask_features = nn.Conv(
+            self.kernel_dim, (1, 1), dtype=self.dtype,
+            param_dtype=jnp.float32, name="mask_proj",
+        )(m).astype(jnp.float32)
+
+        mask_logits = jnp.einsum("bnk,bhwk->bnhw", kernels, mask_features)
+        if self.scale_factor != 1.0:
+            nh = int(h * self.scale_factor)
+            nw = int(w * self.scale_factor)
+            mask_logits = jax.image.resize(
+                mask_logits, (b, self.num_masks, nh, nw), "bilinear"
+            )
+        return {
+            "cls_logits": cls_logits,     # [B, N, C]
+            "obj_logits": obj_logits,     # [B, N]
+            "mask_logits": mask_logits,   # [B, N, Hm, Wm]
+            "iam": iam_prob,
+        }
+
+
+class SparseInst(nn.Module):
+    num_classes: int = 80
+    num_masks: int = 100
+    kernel_dim: int = 128
+    groups: int = 4
+    encoder_channels: int = 256
+    resnet_depth: int = 50
+    resnet_vd: bool = False
+    in_features: Sequence[str] = ("res3", "res4", "res5")
+    scale_factor: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        # pixel normalization (the reference normalizes with ImageNet stats
+        # inside preprocess_inputs, sparseinst.py:94)
+        mean = jnp.asarray([103.53, 116.28, 123.675])
+        std = jnp.asarray([57.375, 57.12, 58.395])
+        x = ((images - mean) / std).astype(self.dtype)
+        feats = ResNet(
+            depth=self.resnet_depth, vd=self.resnet_vd,
+            out_features=self.in_features, dtype=self.dtype, name="backbone",
+        )(x, train)
+        fused = InstanceContextEncoder(
+            self.encoder_channels, dtype=self.dtype, name="encoder"
+        )([feats[f] for f in self.in_features], train)
+        return IAMDecoder(
+            num_masks=self.num_masks,
+            num_classes=self.num_classes,
+            kernel_dim=self.kernel_dim,
+            groups=self.groups,
+            scale_factor=self.scale_factor,
+            dtype=self.dtype,
+            name="decoder",
+        )(fused, train)
+
+
+# ---------------------------------------------------------------------------
+# matcher + criterion
+# ---------------------------------------------------------------------------
+
+def sparseinst_match(
+    out: Dict[str, jnp.ndarray],
+    gt_masks: jnp.ndarray,     # [B, G, Hm, Wm] (at mask_logits resolution)
+    gt_classes: jnp.ndarray,   # [B, G]
+    gt_valid: jnp.ndarray,     # [B, G]
+    alpha: float = 0.8,
+    beta: float = 0.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hungarian with score = dice^α · prob^β (sparseinst_loss.py:297-350).
+
+    Returns (pred_of_gt [B, G] index into N, match_valid [B, G]).
+    """
+    pred_masks = jax.nn.sigmoid(out["mask_logits"])       # [B, N, Hm, Wm]
+    b, n = pred_masks.shape[:2]
+    g = gt_masks.shape[1]
+    pm = pred_masks.reshape(b, n, -1)
+    gm = gt_masks.reshape(b, g, -1).astype(jnp.float32)
+    dice = jax.vmap(
+        lambda p, t: dice_score(p[:, None, :], t[None, :, :])
+    )(pm, gm)                                              # [B, N, G]
+    prob = jax.nn.sigmoid(out["cls_logits"])               # [B, N, C]
+    cls_prob = jnp.take_along_axis(
+        prob, jnp.clip(gt_classes, 0)[:, None, :], axis=-1
+    )                                                      # [B, N, G]
+    score = (dice ** alpha) * (cls_prob ** beta)
+    cost = -score.transpose(0, 2, 1)                       # [B, G, N]
+    raw_pred_of_gt, _ = jax.vmap(
+        lambda c, rv: hungarian_match(
+            c, rv, jnp.ones((n,), bool)
+        )
+    )(cost, gt_valid)
+    match_ok = (raw_pred_of_gt >= 0) & gt_valid
+    return jnp.clip(raw_pred_of_gt, 0), match_ok
+
+
+def sparseinst_losses(
+    out: Dict[str, jnp.ndarray],
+    gt_masks_full: jnp.ndarray,   # [B, G, H, W] binary at input resolution
+    gt_classes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    num_classes: int,
+    class_weight: float = 2.0,
+    mask_pixel_weight: float = 5.0,
+    mask_dice_weight: float = 2.0,
+    objectness_weight: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """SparseInstCriterion (sparseinst_loss.py:49-232), fully on device."""
+    mask_logits = out["mask_logits"]                       # [B, N, Hm, Wm]
+    b, n, hm, wm = mask_logits.shape
+    g = gt_masks_full.shape[1]
+    gt_small = jax.image.resize(
+        gt_masks_full.astype(jnp.float32), (b, g, hm, wm), "bilinear"
+    )
+    gt_small = (gt_small > 0.5).astype(jnp.float32)
+
+    pred_of_gt, match_ok = sparseinst_match(
+        jax.lax.stop_gradient(out), gt_small, gt_classes, gt_valid
+    )
+
+    num_inst = jnp.maximum(jnp.sum(match_ok.astype(jnp.float32)), 1.0)
+
+    # classification: focal loss over ALL proposals; matched get their class
+    onehot = jax.nn.one_hot(gt_classes, num_classes) * match_ok[..., None]
+    cls_target = jnp.zeros((b, n, num_classes)).at[
+        jnp.arange(b)[:, None], pred_of_gt
+    ].add(onehot)
+    cls_target = jnp.clip(cls_target, 0.0, 1.0)
+    loss_cls = jnp.sum(
+        sigmoid_focal_loss(out["cls_logits"], cls_target, alpha=0.25, gamma=2.0)
+    ) / num_inst
+
+    # mask losses on matched pairs
+    matched_logits = jnp.take_along_axis(
+        mask_logits, pred_of_gt[..., None, None], axis=1
+    )                                                      # [B, G, Hm, Wm]
+    mp = jax.nn.sigmoid(matched_logits).reshape(b, g, -1)
+    mt = gt_small.reshape(b, g, -1)
+    ok = match_ok.astype(jnp.float32)
+    loss_dice = jnp.sum(dice_loss(mp, mt, smooth=1.0) * ok) / num_inst
+    bce = sigmoid_binary_cross_entropy(
+        matched_logits.reshape(b, g, -1), mt
+    ).mean(-1)
+    loss_pix = jnp.sum(bce * ok) / num_inst
+
+    # IoU-aware objectness: target = IoU(matched mask, gt)
+    inter = jnp.sum((mp > 0.5) * mt, axis=-1)
+    union = jnp.sum((mp > 0.5) + mt - (mp > 0.5) * mt, axis=-1)
+    iou_t = jax.lax.stop_gradient(inter / jnp.maximum(union, 1.0))
+    matched_obj = jnp.take_along_axis(out["obj_logits"], pred_of_gt, axis=1)
+    loss_obj = jnp.sum(
+        sigmoid_binary_cross_entropy(matched_obj, iou_t) * ok
+    ) / num_inst
+
+    losses = {
+        "loss_ce": class_weight * loss_cls,
+        "loss_dice": mask_dice_weight * loss_dice,
+        "loss_mask": mask_pixel_weight * loss_pix,
+        "loss_objectness": objectness_weight * loss_obj,
+        "num_inst": num_inst,
+    }
+    losses["total_loss"] = (
+        losses["loss_ce"] + losses["loss_dice"] + losses["loss_mask"]
+        + losses["loss_objectness"]
+    )
+    return losses
+
+
+def sparseinst_postprocess(
+    out: Dict[str, jnp.ndarray],
+    cls_threshold: float = 0.005,
+    mask_threshold: float = 0.45,
+    max_detections: int = 100,
+) -> Detections:
+    """NMS-free inference (meta_arch/sparseinst.py:213-236): score =
+    sqrt(cls_prob * obj_prob), per-proposal best class, top-k, mask
+    thresholding. Masks are returned at the model's mask resolution."""
+    cls_prob = jax.nn.sigmoid(out["cls_logits"])           # [B, N, C]
+    obj = jax.nn.sigmoid(out["obj_logits"])[..., None]
+    scores_all = jnp.sqrt(cls_prob * obj)
+    scores = jnp.max(scores_all, axis=-1)                  # [B, N]
+    classes = jnp.argmax(scores_all, axis=-1)
+    scores = jnp.where(scores >= cls_threshold, scores, 0.0)
+
+    top_scores, top_idx = jax.lax.top_k(scores, max_detections)
+    top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
+    masks = jax.nn.sigmoid(
+        jnp.take_along_axis(
+            out["mask_logits"], top_idx[..., None, None], axis=1
+        )
+    )
+    valid = top_scores > 0
+    # derive boxes from masks for the Detections contract
+    binm = masks > mask_threshold
+    hm, wm = binm.shape[-2:]
+    ys = jnp.arange(hm, dtype=jnp.float32)[None, None, :, None]
+    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, None, :]
+    big = 1e9
+    x0 = jnp.min(jnp.where(binm, xs, big), axis=(-2, -1))
+    y0 = jnp.min(jnp.where(binm, ys, big), axis=(-2, -1))
+    x1 = jnp.max(jnp.where(binm, xs, -big), axis=(-2, -1)) + 1
+    y1 = jnp.max(jnp.where(binm, ys, -big), axis=(-2, -1)) + 1
+    any_px = jnp.any(binm, axis=(-2, -1))
+    boxes = jnp.where(
+        any_px[..., None],
+        jnp.stack([x0, y0, x1, y1], axis=-1),
+        0.0,
+    )
+    return Detections(
+        boxes=boxes,
+        scores=jnp.where(valid, top_scores, 0.0),
+        classes=top_classes.astype(jnp.int32),
+        valid=valid & any_px,
+        masks=masks,
+    )
+
+
+@META_ARCH_REGISTRY.register(name="SparseInst")
+def build_sparseinst(cfg, dtype: Optional[Any] = None):
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    dec = cfg.MODEL.SPARSE_INST.DECODER
+    return SparseInst(
+        num_classes=dec.NUM_CLASSES,
+        num_masks=dec.NUM_MASKS,
+        kernel_dim=dec.KERNEL_DIM,
+        groups=dec.GROUPS if dec.NAME == "GroupIAMDecoder" else 1,
+        encoder_channels=cfg.MODEL.SPARSE_INST.ENCODER.NUM_CHANNELS,
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        resnet_vd=cfg.MODEL.RESNETS.VD,
+        in_features=tuple(cfg.MODEL.SPARSE_INST.ENCODER.IN_FEATURES),
+        scale_factor=dec.SCALE_FACTOR,
+        dtype=dtype,
+    )

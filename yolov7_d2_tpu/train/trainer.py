@@ -115,6 +115,8 @@ class AugDisableHook(HookBase):
 class Trainer:
     """Generic loop: jitted sharded train_step over a host data iterator."""
 
+    DEFAULT_FIELDS = ("image", "gt_boxes", "gt_classes", "gt_valid")
+
     def __init__(
         self,
         train_step: Callable,
@@ -125,6 +127,7 @@ class Trainer:
         hooks: Optional[List[HookBase]] = None,
         start_iter: int = 0,
         output_dir: str = "./output",
+        batch_fields: Optional[Iterable[str]] = None,
     ):
         self.mesh = mesh or build_mesh()
         self.jitted_step = jax.jit(train_step, donate_argnums=(0,))
@@ -134,6 +137,7 @@ class Trainer:
         self.hooks = hooks or []
         self.storage = EventStorage(start_iter)
         self.output_dir = output_dir
+        self.batch_fields = tuple(batch_fields or self.DEFAULT_FIELDS)
 
     @staticmethod
     def default_writers(output_dir: str, max_iter: int, period: int = 20):
@@ -148,11 +152,7 @@ class Trainer:
         while self.storage.iter < self.max_iter:
             batch = next(self.data_iter)
             batch = shard_batch_pytree(
-                {
-                    k: v
-                    for k, v in batch.items()
-                    if k in ("image", "gt_boxes", "gt_classes", "gt_valid")
-                },
+                {k: v for k, v in batch.items() if k in self.batch_fields},
                 self.mesh,
             )
             self.state, metrics = self.jitted_step(self.state, batch)
