@@ -13,3 +13,12 @@ from yolov7_d2_tpu.models.backbones.resnet import (  # noqa: F401
     build_resnet_backbone,
     build_resnet_vd_backbone,
 )
+from yolov7_d2_tpu.models.backbones import (  # noqa: F401
+    convnext,
+    efficientnet,
+    efficientrep,
+    pvt_v2,
+    regnet,
+    res2net,
+    swin,
+)

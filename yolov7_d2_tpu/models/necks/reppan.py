@@ -1,0 +1,132 @@
+"""RepPAN neck (YOLOv6) + PP-YOLO PAN.
+
+Parity with /root/reference/yolov7/modeling/neck/reppan.py (``RepPANNeck:6``)
+and neck/ppyolo_pan.py (``PPYOLOPAN:230`` with SPP + DropBlock — the
+reference file carries a latent paddle ``nn.Layer`` bug at :9 which we
+obviously do not reproduce).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolov7_d2_tpu.core.registry import NECK_REGISTRY
+from yolov7_d2_tpu.models.backbones.efficientrep import RepBlock
+from yolov7_d2_tpu.models.layers.blocks import BaseConv, SPPBottleneck
+from yolov7_d2_tpu.models.necks.yolo_pafpn import upsample2x_nearest
+
+
+class RepPANNeck(nn.Module):
+    """Top-down + bottom-up PAN with RepBlocks (strides 8/16/32)."""
+
+    width_mul: float = 1.0
+    depth_mul: float = 1.0
+    dtype: Any = jnp.float32
+
+    channels_plan: Sequence[int] = (128, 64, 128, 256)
+    repeats_plan: Sequence[int] = (12, 12, 12, 12)
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = False
+    ) -> Tuple[jnp.ndarray, ...]:
+        x2, x1, x0 = feats
+        chs = [max(int(c * self.width_mul), 8) for c in self.channels_plan]
+        reps = [max(int(round(r * self.depth_mul)), 1) for r in self.repeats_plan]
+
+        r0 = BaseConv(chs[0], 1, 1, act="relu", dtype=self.dtype,
+                      name="reduce0")(x0, train)
+        up0 = jnp.concatenate([upsample2x_nearest(r0), x1], axis=-1)
+        p4 = RepBlock(chs[0], reps[0], dtype=self.dtype, name="rep_p4")(
+            up0, train
+        )
+
+        r1 = BaseConv(chs[1], 1, 1, act="relu", dtype=self.dtype,
+                      name="reduce1")(p4, train)
+        up1 = jnp.concatenate([upsample2x_nearest(r1), x2], axis=-1)
+        p3 = RepBlock(chs[1], reps[1], dtype=self.dtype, name="rep_p3")(
+            up1, train
+        )
+
+        d1 = BaseConv(chs[1], 3, 2, act="relu", dtype=self.dtype,
+                      name="down1")(p3, train)
+        n4 = RepBlock(chs[2], reps[2], dtype=self.dtype, name="rep_n4")(
+            jnp.concatenate([d1, r1], axis=-1), train
+        )
+
+        d0 = BaseConv(chs[2], 3, 2, act="relu", dtype=self.dtype,
+                      name="down0")(n4, train)
+        n5 = RepBlock(chs[3], reps[3], dtype=self.dtype, name="rep_n5")(
+            jnp.concatenate([d0, r0], axis=-1), train
+        )
+        return (p3, n4, n5)
+
+
+class PPYOLOPAN(nn.Module):
+    """PP-YOLOv2 PAN: conv blocks with SPP on the deepest level."""
+
+    channels: Sequence[int] = (128, 256, 512)
+    with_spp: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = False
+    ) -> Tuple[jnp.ndarray, ...]:
+        x2, x1, x0 = feats
+        c3, c4, c5 = self.channels
+
+        y0 = BaseConv(c5, 1, 1, act="lrelu", dtype=self.dtype,
+                      name="p5_in")(x0, train)
+        if self.with_spp:
+            y0 = SPPBottleneck(c5, act="lrelu", dtype=self.dtype,
+                               name="spp")(y0, train)
+        y0 = BaseConv(c5, 3, 1, act="lrelu", dtype=self.dtype,
+                      name="p5_out")(y0, train)
+
+        u1 = jnp.concatenate(
+            [upsample2x_nearest(
+                BaseConv(c4, 1, 1, act="lrelu", dtype=self.dtype,
+                         name="lat1")(y0, train)
+            ), x1],
+            axis=-1,
+        )
+        y1 = BaseConv(c4, 3, 1, act="lrelu", dtype=self.dtype,
+                      name="p4_out")(u1, train)
+
+        u2 = jnp.concatenate(
+            [upsample2x_nearest(
+                BaseConv(c3, 1, 1, act="lrelu", dtype=self.dtype,
+                         name="lat2")(y1, train)
+            ), x2],
+            axis=-1,
+        )
+        y2 = BaseConv(c3, 3, 1, act="lrelu", dtype=self.dtype,
+                      name="p3_out")(u2, train)
+
+        d2 = BaseConv(c4, 3, 2, act="lrelu", dtype=self.dtype,
+                      name="pan_down2")(y2, train)
+        z1 = BaseConv(c4, 3, 1, act="lrelu", dtype=self.dtype,
+                      name="pan_p4")(jnp.concatenate([d2, y1], -1), train)
+        d1 = BaseConv(c5, 3, 2, act="lrelu", dtype=self.dtype,
+                      name="pan_down1")(z1, train)
+        z0 = BaseConv(c5, 3, 1, act="lrelu", dtype=self.dtype,
+                      name="pan_p5")(jnp.concatenate([d1, y0], -1), train)
+        return (y2, z1, z0)
+
+
+@NECK_REGISTRY.register()
+def build_reppan(cfg, dtype=jnp.float32):
+    return RepPANNeck(
+        width_mul=cfg.MODEL.YOLO.WIDTH_MUL,
+        depth_mul=cfg.MODEL.YOLO.DEPTH_MUL,
+        dtype=dtype,
+    )
+
+
+@NECK_REGISTRY.register()
+def build_ppyolo_pan(cfg, dtype=jnp.float32):
+    return PPYOLOPAN(with_spp=cfg.MODEL.YOLO.NECK.WITH_SPP, dtype=dtype)
