@@ -18,3 +18,5 @@ from yolov7_d2_tpu.models.meta_arch.yolox import (  # noqa: F401
     yolox_loss_fn,
     yolox_postprocess,
 )
+from yolov7_d2_tpu.models.meta_arch import yolof, yolov6, yolox_kpts  # noqa: F401
+from yolov7_d2_tpu.models.meta_arch import detr  # noqa: F401

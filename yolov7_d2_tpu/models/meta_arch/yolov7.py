@@ -185,6 +185,41 @@ def build_yolo(cfg, dtype: Optional[Any] = None):
     )
 
 
+@META_ARCH_REGISTRY.register(name="YOLOV5")
+def build_yolov5(cfg, dtype: Optional[Any] = None):
+    """YOLOV5 (reference meta_arch/yolov5.py:48): CSP backbone + PAFPN +
+    anchor head with the v5 ratio-based target builder and CIoU loss —
+    the loss wiring selects BUILD_TARGET_TYPE='yolov5' at the engine level."""
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    return AnchorYOLO(
+        num_classes=cfg.MODEL.YOLO.CLASSES,
+        anchors=_anchors_from_cfg(cfg),
+        backbone_type="cspdarknetx",
+        neck_type="pafpn",
+        in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
+        width_mul=cfg.MODEL.YOLO.WIDTH_MUL,
+        depth_mul=cfg.MODEL.YOLO.DEPTH_MUL,
+        act="silu",
+        dtype=dtype,
+    )
+
+
+@META_ARCH_REGISTRY.register(name="YOLOV7P")
+def build_yolov7p(cfg, dtype: Optional[Any] = None):
+    """YOLOV7P (reference meta_arch/yolov7p.py:42) — yolov7 fused with the
+    decoupled-head flavour; structurally the PAFPN variant here."""
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    return AnchorYOLO(
+        num_classes=cfg.MODEL.YOLO.CLASSES,
+        anchors=_anchors_from_cfg(cfg),
+        backbone_type="cspdarknet53",
+        neck_type="pafpn",
+        in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
+        act="silu",
+        dtype=dtype,
+    )
+
+
 @META_ARCH_REGISTRY.register(name="YOLOV7")
 def build_yolov7(cfg, dtype: Optional[Any] = None):
     dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
