@@ -79,7 +79,7 @@ class EncoderLayer(nn.Module):
                 num_heads=self.nhead, dtype=self.dtype,
                 param_dtype=jnp.float32, dropout_rate=self.dropout,
                 deterministic=not train, name="self_attn",
-            )(q, k, x, mask=mask)
+            )(q, k, inputs_v=x, mask=mask)
 
         def ffn(x):
             y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
@@ -117,14 +117,14 @@ class DecoderLayer(nn.Module):
                 num_heads=self.nhead, dtype=self.dtype,
                 param_dtype=jnp.float32, dropout_rate=self.dropout,
                 deterministic=not train, name="self_attn",
-            )(q, k, x)
+            )(q, k, inputs_v=x)
 
         def ca(x):
             return nn.MultiHeadDotProductAttention(
                 num_heads=self.nhead, dtype=self.dtype,
                 param_dtype=jnp.float32, dropout_rate=self.dropout,
                 deterministic=not train, name="cross_attn",
-            )(x + query_pos, memory + pos, memory)
+            )(x + query_pos, memory + pos, inputs_v=memory)
 
         def ffn(x):
             y = nn.Dense(self.dim_feedforward, dtype=self.dtype,

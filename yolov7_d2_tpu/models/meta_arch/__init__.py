@@ -21,3 +21,4 @@ from yolov7_d2_tpu.models.meta_arch.yolox import (  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import yolof, yolov6, yolox_kpts  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import detr  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import solov2  # noqa: F401
+from yolov7_d2_tpu.models.meta_arch import detr_variants  # noqa: F401

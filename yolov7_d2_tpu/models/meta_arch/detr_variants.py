@@ -1,0 +1,489 @@
+"""DETR variants: AnchorDETR (RCDA), SMCA-DETR, DAB-DETR, D2go-DETR.
+
+Parity targets:
+  * ``AnchorDetr`` — /root/reference/yolov7/modeling/meta_arch/anchor_detr.py:36
+    + anchordetr_backbone.py (anchor query points/patterns ``Transformer:23``,
+    ``pos2posemb2d:412``, RCDA decoder) with the sigmoid-focal SetCriterion
+    (:547) and ``HungarianMatcherAnchorDETR`` (detr_utils.py:94).
+  * ``SMCADetr`` — meta_arch/smca_detr.py:39 + smcadetr_backbone.py
+    (spatially-modulated co-attention: per-query gaussian prior added to the
+    cross-attention logits) + ``HungarianMatcherSMCA`` (detr_utils.py:179).
+  * ``DABDetr`` — meta_arch/dab_detr.py:34 (dynamic anchor boxes refined per
+    decoder layer; the reference reuses detr_backbone's Transformer — we make
+    the box refinement explicit).
+  * ``DetrD2go`` — meta_arch/detr_d2go.py:171 with ``FocalLossSetCriterion``
+    (loss/setcriterion.py:295); the deformable/two-stage options are mapped
+    to the standard encoder (deformable sampling is a planned Pallas kernel).
+
+All share the on-device Hungarian criterion from meta_arch/detr.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolov7_d2_tpu.core.registry import META_ARCH_REGISTRY
+from yolov7_d2_tpu.models.backbones.resnet import ResNet
+from yolov7_d2_tpu.models.layers.rcda import RCDAttention, pos2posemb2d
+from yolov7_d2_tpu.models.layers.transformer import (
+    MLP,
+    EncoderLayer,
+    sine_position_embedding,
+)
+from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
+from yolov7_d2_tpu.structures.instances import Detections
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    x = jnp.clip(x, eps, 1.0 - eps)
+    return jnp.log(x / (1.0 - x))
+
+
+class RCDADecoderLayer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory_2d, query_pos, pos_row, pos_col,
+                 train: bool = False):
+        """tgt [B,Q,C]; memory_2d [B,H,W,C]; pos_row/pos_col: 1D positional
+        embeddings for the x/y axes of the memory [W,C]/[H,C]."""
+        q = k = tgt + query_pos
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, dtype=self.dtype, param_dtype=jnp.float32,
+            dropout_rate=self.dropout, deterministic=not train,
+            name="self_attn",
+        )(q, k, inputs_v=tgt)
+        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + y).astype(
+            self.dtype
+        )
+
+        key_row = memory_2d + pos_row[None, None, :, :]
+        key_col = memory_2d + pos_col[None, :, None, :]
+        y = RCDAttention(
+            self.d_model, self.nhead, dtype=self.dtype, name="cross_attn"
+        )(tgt + query_pos, tgt + query_pos, key_row, key_col, memory_2d)
+        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + y).astype(
+            self.dtype
+        )
+
+        y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear1")(tgt)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="linear2")(y)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm3")(tgt + y).astype(
+            self.dtype
+        )
+
+
+class AnchorDETR(nn.Module):
+    """Anchor query points x patterns + RCDA decoder."""
+
+    num_classes: int = 80
+    hidden_dim: int = 256
+    num_query_position: int = 300
+    num_query_pattern: int = 3
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 1024
+    resnet_depth: int = 50
+    spatial_prior: str = "learned"  # learned | grid
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        mean = jnp.asarray([103.53, 116.28, 123.675])
+        std = jnp.asarray([57.375, 57.12, 58.395])
+        x = ((images - mean) / std).astype(self.dtype)
+        feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                       dtype=self.dtype, name="backbone")(x, train)
+        f = feats["res5"]
+        b, h, w, _ = f.shape
+        src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="input_proj")(f)
+
+        pos2d = sine_position_embedding(h, w, self.hidden_dim // 2)
+        pos2d = jnp.broadcast_to(
+            pos2d[None], (b, h, w, self.hidden_dim)
+        ).astype(self.dtype)
+        mem = src.reshape(b, h * w, self.hidden_dim)
+        posf = pos2d.reshape(b, h * w, self.hidden_dim)
+        for i in range(self.enc_layers):
+            mem = EncoderLayer(
+                self.hidden_dim, self.nheads, self.dim_feedforward,
+                dropout=0.0, dtype=self.dtype, name=f"enc_{i}",
+            )(mem, posf, train)
+        memory_2d = mem.reshape(b, h, w, self.hidden_dim)
+
+        # anchor points in [0, 1]^2
+        if self.spatial_prior == "grid":
+            g = int(self.num_query_position ** 0.5)
+            ys, xs = jnp.meshgrid(
+                (jnp.arange(g) + 0.5) / g, (jnp.arange(g) + 0.5) / g,
+                indexing="ij",
+            )
+            points = jnp.stack([xs, ys], -1).reshape(-1, 2)
+            points = points[: self.num_query_position]
+        else:
+            points = jax.nn.sigmoid(
+                self.param(
+                    "anchor_points",
+                    nn.initializers.uniform(2.0),
+                    (self.num_query_position, 2),
+                )
+            )
+        patterns = self.param(
+            "pattern_embed", nn.initializers.normal(1.0),
+            (self.num_query_pattern, self.hidden_dim),
+        )
+        Q = self.num_query_position * self.num_query_pattern
+        query_pos = pos2posemb2d(points, self.hidden_dim // 2)   # [P, C]
+        query_pos = jnp.tile(query_pos, (self.num_query_pattern, 1))
+        tgt = jnp.repeat(
+            patterns, self.num_query_position, axis=0
+        )                                                         # [Q, C]
+        tgt = jnp.broadcast_to(tgt[None], (b, Q, self.hidden_dim)).astype(
+            self.dtype
+        )
+        query_pos = jnp.broadcast_to(
+            query_pos[None], (b, Q, self.hidden_dim)
+        ).astype(self.dtype)
+
+        # 1D axis positional embeddings for RCDA keys
+        pos_row = sine_position_embedding(1, w, self.hidden_dim // 2)[0]
+        pos_col = sine_position_embedding(h, 1, self.hidden_dim // 2)[:, 0]
+        anchor_xy = jnp.tile(points, (self.num_query_pattern, 1))  # [Q, 2]
+
+        cls_head = nn.Dense(self.num_classes, param_dtype=jnp.float32,
+                            name="class_embed")
+        box_head = MLP(self.hidden_dim, 4, 3, name="bbox_embed")
+        all_logits, all_boxes = [], []
+        for i in range(self.dec_layers):
+            tgt = RCDADecoderLayer(
+                self.hidden_dim, self.nheads, self.dim_feedforward,
+                dtype=self.dtype, name=f"dec_{i}",
+            )(tgt, memory_2d, query_pos, pos_row.astype(self.dtype),
+              pos_col.astype(self.dtype), train)
+            o = tgt.astype(jnp.float32)
+            delta = box_head(o)
+            xy = jax.nn.sigmoid(
+                delta[..., 0:2] + inverse_sigmoid(anchor_xy)[None]
+            )
+            wh = jax.nn.sigmoid(delta[..., 2:4])
+            all_boxes.append(jnp.concatenate([xy, wh], -1))
+            all_logits.append(cls_head(o))
+        return {
+            "pred_logits": all_logits[-1],
+            "pred_boxes": all_boxes[-1],
+            "aux_logits": jnp.stack(all_logits[:-1]),
+            "aux_boxes": jnp.stack(all_boxes[:-1]),
+        }
+
+
+class SMCADecoderLayer(nn.Module):
+    """Cross-attention with a per-query gaussian spatial prior added to the
+    logits (SMCA's co-attention modulation)."""
+
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, pos, centers_scales,
+                 grid_yx, train: bool = False):
+        """centers_scales [B,Q,nhead,4]: (cx, cy, sx, sy) normalized;
+        grid_yx [HW, 2] normalized pixel centers of memory positions."""
+        q = k = tgt + query_pos
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, dtype=self.dtype, param_dtype=jnp.float32,
+            deterministic=True, name="self_attn",
+        )(q, k, inputs_v=tgt)
+        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + y).astype(
+            self.dtype
+        )
+
+        # manual multi-head cross attention with gaussian modulation
+        b, qn, _ = tgt.shape
+        hw = memory.shape[1]
+        hd = self.d_model // self.nhead
+        qh = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="ca_q")(tgt + query_pos)
+        kh = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="ca_k")(memory + pos)
+        vh = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="ca_v")(memory)
+        qh = qh.reshape(b, qn, self.nhead, hd)
+        kh = kh.reshape(b, hw, self.nhead, hd)
+        vh = vh.reshape(b, hw, self.nhead, hd)
+        logits = jnp.einsum("bqnd,bpnd->bnqp", qh, kh) * (hd ** -0.5)
+        # gaussian prior: -((x-cx)² / sx + (y-cy)² / sy)
+        cx = centers_scales[..., 0][..., None]     # [B, Q, n, 1]
+        cy = centers_scales[..., 1][..., None]
+        sx = jnp.exp(centers_scales[..., 2])[..., None] + 1e-4
+        sy = jnp.exp(centers_scales[..., 3])[..., None] + 1e-4
+        gx = grid_yx[None, None, None, :, 1]
+        gy = grid_yx[None, None, None, :, 0]
+        gauss = -(
+            (gx - cx) ** 2 / sx + (gy - cy) ** 2 / sy
+        )                                          # [B, Q, n, HW]
+        logits = logits + gauss.transpose(0, 2, 1, 3).astype(logits.dtype)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
+        y = jnp.einsum("bnqp,bpnd->bqnd", attn, vh).reshape(b, qn, self.d_model)
+        y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="ca_out")(y)
+        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + y).astype(
+            self.dtype
+        )
+        y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear1")(tgt)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="linear2")(y)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm3")(tgt + y).astype(
+            self.dtype
+        )
+
+
+class SMCADETR(nn.Module):
+    num_classes: int = 80
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    resnet_depth: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        mean = jnp.asarray([103.53, 116.28, 123.675])
+        std = jnp.asarray([57.375, 57.12, 58.395])
+        x = ((images - mean) / std).astype(self.dtype)
+        feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                       dtype=self.dtype, name="backbone")(x, train)
+        f = feats["res5"]
+        b, h, w, _ = f.shape
+        src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="input_proj")(f)
+        pos2d = sine_position_embedding(h, w, self.hidden_dim // 2)
+        pos = jnp.broadcast_to(
+            pos2d[None], (b, h, w, self.hidden_dim)
+        ).reshape(b, h * w, self.hidden_dim).astype(self.dtype)
+        mem = src.reshape(b, h * w, self.hidden_dim)
+        for i in range(self.enc_layers):
+            mem = EncoderLayer(
+                self.hidden_dim, self.nheads, self.dim_feedforward,
+                dropout=0.0, dtype=self.dtype, name=f"enc_{i}",
+            )(mem, pos, train)
+
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (self.num_queries, self.hidden_dim),
+        )
+        query_pos = jnp.broadcast_to(
+            query_embed[None], (b, self.num_queries, self.hidden_dim)
+        ).astype(self.dtype)
+        tgt = jnp.zeros_like(query_pos)
+
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        grid_yx = jnp.stack([gy, gx], -1).reshape(-1, 2)
+
+        # per-query per-head gaussian centers+scales predicted from the query
+        cs_head = MLP(self.hidden_dim, self.nheads * 4, 2, name="cs_head")
+        cls_head = nn.Dense(self.num_classes + 1, param_dtype=jnp.float32,
+                            name="class_embed")
+        box_head = MLP(self.hidden_dim, 4, 3, name="bbox_embed")
+
+        all_logits, all_boxes = [], []
+        for i in range(self.dec_layers):
+            cs = cs_head(query_pos.astype(jnp.float32)).reshape(
+                b, self.num_queries, self.nheads, 4
+            )
+            cs = cs.at[..., 0:2].set(jax.nn.sigmoid(cs[..., 0:2]))
+            tgt = SMCADecoderLayer(
+                self.hidden_dim, self.nheads, self.dim_feedforward,
+                dtype=self.dtype, name=f"dec_{i}",
+            )(tgt, mem, query_pos, pos, cs, grid_yx, train)
+            o = tgt.astype(jnp.float32)
+            all_logits.append(cls_head(o))
+            all_boxes.append(jax.nn.sigmoid(box_head(o)))
+        return {
+            "pred_logits": all_logits[-1],
+            "pred_boxes": all_boxes[-1],
+            "aux_logits": jnp.stack(all_logits[:-1]),
+            "aux_boxes": jnp.stack(all_boxes[:-1]),
+        }
+
+
+class DABDETR(nn.Module):
+    """Dynamic-anchor-box DETR: [Q, 4] reference boxes refined per layer;
+    query positions are sine embeddings of the current boxes."""
+
+    num_classes: int = 80
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    resnet_depth: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        from yolov7_d2_tpu.models.layers.transformer import DecoderLayer
+
+        mean = jnp.asarray([103.53, 116.28, 123.675])
+        std = jnp.asarray([57.375, 57.12, 58.395])
+        x = ((images - mean) / std).astype(self.dtype)
+        feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                       dtype=self.dtype, name="backbone")(x, train)
+        f = feats["res5"]
+        b, h, w, _ = f.shape
+        src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="input_proj")(f)
+        pos2d = sine_position_embedding(h, w, self.hidden_dim // 2)
+        pos = jnp.broadcast_to(
+            pos2d[None], (b, h, w, self.hidden_dim)
+        ).reshape(b, h * w, self.hidden_dim).astype(self.dtype)
+        mem = src.reshape(b, h * w, self.hidden_dim)
+        for i in range(self.enc_layers):
+            mem = EncoderLayer(
+                self.hidden_dim, self.nheads, self.dim_feedforward,
+                dropout=0.0, dtype=self.dtype, name=f"enc_{i}",
+            )(mem, pos, train)
+
+        ref_boxes = jax.nn.sigmoid(
+            self.param(
+                "ref_boxes", nn.initializers.uniform(2.0),
+                (self.num_queries, 4),
+            )
+        )                                        # [Q, 4] cxcywh in [0,1]
+        ref = jnp.broadcast_to(ref_boxes[None], (b, self.num_queries, 4))
+        tgt = jnp.zeros((b, self.num_queries, self.hidden_dim), self.dtype)
+
+        pos_proj = nn.Dense(self.hidden_dim, param_dtype=jnp.float32,
+                            name="ref_pos_proj")
+        cls_head = nn.Dense(self.num_classes + 1, param_dtype=jnp.float32,
+                            name="class_embed")
+        box_head = MLP(self.hidden_dim, 4, 3, name="bbox_embed")
+
+        all_logits, all_boxes = [], []
+        for i in range(self.dec_layers):
+            query_pos = pos_proj(
+                pos2posemb2d(ref[..., :2], self.hidden_dim // 2)
+            ).astype(self.dtype)
+            tgt = DecoderLayer(
+                self.hidden_dim, self.nheads, self.dim_feedforward,
+                dropout=0.0, dtype=self.dtype, name=f"dec_{i}",
+            )(tgt, mem, query_pos, pos, train)
+            o = tgt.astype(jnp.float32)
+            delta = box_head(o)
+            new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+            all_boxes.append(new_ref)
+            all_logits.append(cls_head(o))
+            ref = jax.lax.stop_gradient(new_ref)  # iterative refinement
+        return {
+            "pred_logits": all_logits[-1],
+            "pred_boxes": all_boxes[-1],
+            "aux_logits": jnp.stack(all_logits[:-1]),
+            "aux_boxes": jnp.stack(all_boxes[:-1]),
+        }
+
+
+def anchor_detr_postprocess(
+    out: Dict[str, jnp.ndarray], input_hw, max_detections: int = 100
+) -> Detections:
+    """Focal (sigmoid) variant: top-k over all (query, class) pairs."""
+    h, w = input_hw
+    prob = jax.nn.sigmoid(out["pred_logits"])            # [B, Q, C]
+    b, q, c = prob.shape
+    flat = prob.reshape(b, q * c)
+    top_scores, top_idx = jax.lax.top_k(flat, max_detections)
+    top_q = top_idx // c
+    top_cls = top_idx % c
+    boxes = cxcywh_to_xyxy(out["pred_boxes"]) * jnp.asarray(
+        [w, h, w, h], jnp.float32
+    )
+    return Detections(
+        boxes=jnp.take_along_axis(boxes, top_q[..., None], axis=1),
+        scores=top_scores,
+        classes=top_cls.astype(jnp.int32),
+        valid=top_scores > 0.0,
+    )
+
+
+@META_ARCH_REGISTRY.register(name="AnchorDetr")
+def build_anchor_detr(cfg, dtype: Optional[Any] = None):
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    d = cfg.MODEL.DETR
+    return AnchorDETR(
+        num_classes=d.NUM_CLASSES,
+        hidden_dim=d.HIDDEN_DIM,
+        num_query_position=d.NUM_QUERY_POSITION,
+        num_query_pattern=d.NUM_QUERY_PATTERN,
+        nheads=d.NHEADS,
+        enc_layers=d.ENC_LAYERS,
+        dec_layers=d.DEC_LAYERS,
+        dim_feedforward=d.DIM_FEEDFORWARD,
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        spatial_prior=d.SPATIAL_PRIOR,
+        dtype=dtype,
+    )
+
+
+@META_ARCH_REGISTRY.register(name="SMCADetr")
+def build_smca_detr(cfg, dtype: Optional[Any] = None):
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    d = cfg.MODEL.DETR
+    return SMCADETR(
+        num_classes=d.NUM_CLASSES,
+        hidden_dim=d.HIDDEN_DIM,
+        num_queries=d.NUM_OBJECT_QUERIES,
+        nheads=d.NHEADS,
+        enc_layers=d.ENC_LAYERS,
+        dec_layers=d.DEC_LAYERS,
+        dim_feedforward=d.DIM_FEEDFORWARD,
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        dtype=dtype,
+    )
+
+
+@META_ARCH_REGISTRY.register(name="DABDetr")
+def build_dab_detr(cfg, dtype: Optional[Any] = None):
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    d = cfg.MODEL.DETR
+    return DABDETR(
+        num_classes=d.NUM_CLASSES,
+        hidden_dim=d.HIDDEN_DIM,
+        num_queries=d.NUM_OBJECT_QUERIES,
+        nheads=d.NHEADS,
+        enc_layers=d.ENC_LAYERS,
+        dec_layers=d.DEC_LAYERS,
+        dim_feedforward=d.DIM_FEEDFORWARD,
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        dtype=dtype,
+    )
+
+
+@META_ARCH_REGISTRY.register(name="DetrD2go")
+def build_detr_d2go(cfg, dtype: Optional[Any] = None):
+    """D2go-style DETR: the reference pairs FBNet/ResNet backbones with a
+    focal-loss criterion; structurally the standard DETR graph here (the
+    focal criterion is selected by MODEL.DETR.USE_FOCAL_LOSS in the engine)."""
+    from yolov7_d2_tpu.models.meta_arch.detr import build_detr
+
+    return build_detr(cfg, dtype)
