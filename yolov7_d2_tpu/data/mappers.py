@@ -25,6 +25,23 @@ import numpy as np
 from yolov7_d2_tpu.data.transforms import augment as A
 from yolov7_d2_tpu.structures.boxes import BoxMode
 
+try:  # native C++ letterbox (yolov7_d2_tpu/native) when the toolchain built it
+    from yolov7_d2_tpu import native as _native
+
+    _NATIVE = _native.native_available()
+except Exception:  # pragma: no cover
+    _native, _NATIVE = None, False
+
+
+def _letterbox_fast(img, boxes, size, pad_value):
+    """Native multithread-friendly letterbox with cv2 fallback."""
+    if _NATIVE and img.dtype == np.uint8:
+        out, scale = _native.letterbox_u8(img, size, pad_value)
+        if len(boxes):
+            boxes = boxes.astype(np.float32) * scale
+        return out, boxes, scale
+    return A.letterbox(img, boxes, size, pad_value)
+
 
 def read_image_bgr(path: str) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -125,7 +142,7 @@ class SimpleDatasetMapper:
         flip = self.is_train and self.rng.random() < self.flip_prob
         if flip:
             img, boxes = A.hflip(img, boxes)
-        img, boxes, scale = A.letterbox(
+        img, boxes, scale = _letterbox_fast(
             img, boxes, self.input_size, self.pad_value
         )
         sample = densify(boxes, classes, self.max_boxes)
