@@ -31,7 +31,9 @@ def main() -> None:
     cfg.INPUT.INPUT_SIZE = [640, 640]
     cfg.SOLVER.AMP.ENABLED = True  # bf16 compute
 
-    batch = 32
+    # bs sweep on v5e (one chip): 32 -> 1160, 64 -> 2020, 128 -> 2740,
+    # 256 -> 2150 img/s; 128 is the sweet spot.
+    batch = 128
     model = build_model(cfg)
     images = jnp.full((batch, 640, 640, 3), 114.0, jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), images, train=False)
@@ -45,7 +47,7 @@ def main() -> None:
     out = forward(variables, images)
     float(out[0, 0, 0])
 
-    iters = 30
+    iters = 15
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, images)
