@@ -22,6 +22,11 @@ def main():
         help="bake decode+NMS into the exported graph",
     )
     parser.add_argument("--weights", default="")
+    parser.add_argument(
+        "--emit-mlir", action="store_true",
+        help="also emit model.mlir + compile_options.pb for the C++ PJRT "
+             "serving client (deploy/cc/pjrt_infer)",
+    )
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
 
@@ -70,6 +75,21 @@ def main():
     paths = export_inference_fn(
         model, variables, (args.batch, h, w, 3), args.output, postprocess=post
     )
+    if args.emit_mlir:
+        from yolov7_d2_tpu.deploy.export import export_mlir
+
+        frozen = jax.tree.map(jnp.asarray, variables)
+
+        def infer(images):
+            out = model.apply(frozen, images, train=False)
+            return post(out) if post is not None else out
+
+        paths.update(
+            export_mlir(
+                infer, (jnp.zeros((args.batch, h, w, 3), jnp.float32),),
+                args.output,
+            )
+        )
     print(f"exported: {paths}")
 
 

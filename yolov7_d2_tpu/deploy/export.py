@@ -47,6 +47,32 @@ def load_stablehlo(path: str):
     return jax_export.deserialize(blob)
 
 
+def export_mlir(
+    fn,
+    example_args: Tuple,
+    out_dir: str,
+    platform: Optional[str] = None,
+) -> Dict[str, str]:
+    """Emit the MLIR module + serialized CompileOptions sidecar for the C++
+    PJRT serving client (deploy/cc/pjrt_infer.cc) — the counterpart of the
+    reference's ONNX-for-TensorRT export."""
+    from jax import export as jax_export
+    from jax._src.lib import xla_client
+
+    platforms = [platform] if platform else None
+    exported = jax_export.export(jax.jit(fn), platforms=platforms)(
+        *example_args
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    mlir_path = os.path.join(out_dir, "model.mlir")
+    with open(mlir_path, "w") as f:
+        f.write(exported.mlir_module())
+    opts_path = os.path.join(out_dir, "compile_options.pb")
+    with open(opts_path, "wb") as f:
+        f.write(xla_client.CompileOptions().SerializeAsString())
+    return {"mlir": mlir_path, "compile_options": opts_path}
+
+
 def export_inference_fn(
     model,
     variables: Dict[str, Any],
