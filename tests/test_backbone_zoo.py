@@ -150,3 +150,30 @@ def test_backbone_registry_builders():
         assert name in BACKBONE_REGISTRY, name
         model = BACKBONE_REGISTRY.get(name)(cfg)
         assert model is not None
+
+
+def test_dla34():
+    from yolov7_d2_tpu.models.backbones.dla import DLA, DLAUp
+    out = _run(DLA(depth=34))
+    assert out["level3"].shape == (1, 8, 8, 128)
+    assert out["level4"].shape == (1, 4, 4, 256)
+    assert out["level5"].shape == (1, 2, 2, 512)
+    up = DLAUp(channels=32)
+    feats = [out["level3"], out["level4"], out["level5"]]
+    v = up.init(jax.random.PRNGKey(0), feats)
+    outs = up.apply(v, feats)
+    assert outs[0].shape == (1, 8, 8, 32)
+
+
+def test_fbnet():
+    from yolov7_d2_tpu.models.backbones.mobile import FBNet
+    out = _run(FBNet())
+    assert set(out) == {"trunk2", "trunk3", "trunk4"}
+    for f in out.values():
+        assert np.all(np.isfinite(np.asarray(f)))
+
+
+def test_mobilevit():
+    from yolov7_d2_tpu.models.backbones.mobile import MobileViT
+    out = _run(MobileViT(), size=128)
+    assert set(out) == {"stage2", "stage3", "stage4"}

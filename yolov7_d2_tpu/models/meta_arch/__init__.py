@@ -22,3 +22,4 @@ from yolov7_d2_tpu.models.meta_arch import yolof, yolov6, yolox_kpts  # noqa: F4
 from yolov7_d2_tpu.models.meta_arch import detr  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import solov2  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import detr_variants  # noqa: F401
+from yolov7_d2_tpu.models.meta_arch import detr_seg, yolomask  # noqa: F401
