@@ -198,3 +198,39 @@ def test_hsv_distort_valid_range():
     img = np.random.default_rng(1).integers(0, 255, (16, 16, 3), np.uint8)
     out = A.hsv_distort(img, rng)
     assert out.dtype == np.uint8 and out.shape == img.shape
+
+
+def test_multiscale_schedule_deterministic():
+    from yolov7_d2_tpu.data.multiscale import (
+        MultiScaleMapperWrapper,
+        default_size_set,
+        size_for_step,
+    )
+
+    sizes = default_size_set(320, span=2)
+    assert all(s[0] % 32 == 0 for s in sizes)
+    # constant within an interval, deterministic across "hosts"
+    assert size_for_step(0, sizes) == size_for_step(9, sizes)
+    assert size_for_step(5, sizes, seed=1) == size_for_step(5, sizes, seed=1)
+    # changes over buckets (with high probability over 20 buckets)
+    picked = {size_for_step(i * 10, sizes) for i in range(20)}
+    assert len(picked) > 1
+
+
+def test_multiscale_mapper_wrapper(mini_coco):
+    from yolov7_d2_tpu.config import get_cfg
+    from yolov7_d2_tpu.data.coco import load_coco_json
+    from yolov7_d2_tpu.data.mappers import SimpleDatasetMapper
+    from yolov7_d2_tpu.data.multiscale import MultiScaleMapperWrapper
+
+    json_file, image_root = mini_coco
+    records = load_coco_json(json_file, image_root)
+    cfg = get_cfg()
+    mapper = SimpleDatasetMapper(cfg, is_train=False)
+    ms = MultiScaleMapperWrapper(mapper, [(32, 32), (64, 64)], interval=1)
+    shapes = set()
+    for step in range(4):
+        ms.step = step
+        shapes.add(ms(records[0])["image"].shape)
+    assert shapes <= {(32, 32, 3), (64, 64, 3)}
+    assert len(shapes) >= 1

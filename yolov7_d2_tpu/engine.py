@@ -103,3 +103,147 @@ def build_yolox_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2
 
     eval_step = make_eval_step(model, postprocess)
     return model, state, train_step, eval_step
+
+
+# ---------------------------------------------------------------------------
+# generic builder: dispatch any registered meta-arch to its loss wiring
+# ---------------------------------------------------------------------------
+
+def _make_state(model, cfg, rng, batch_size):
+    h, w = cfg.INPUT.INPUT_SIZE
+    variables = model.init(
+        rng, jnp.zeros((batch_size, h, w, 3), jnp.float32), train=False
+    )
+    tx = build_optimizer(cfg, variables["params"])
+    return variables, tx, TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        ema_params=(
+            jax.tree.map(jnp.copy, variables["params"])
+            if cfg.SOLVER.EMA.ENABLED else None
+        ),
+    )
+
+
+def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
+    """cfg -> (model, state, train_step, batch_fields) for ANY registered
+    meta-architecture (the generic counterpart of the reference's per-script
+    Trainer subclasses)."""
+    import numpy as np
+
+    arch = cfg.MODEL.META_ARCHITECTURE
+    rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
+
+    if arch == "YOLOX":
+        model, state, train_step, _ = build_yolox_system(cfg, rng, batch_size)
+        return model, state, train_step, (
+            "image", "gt_boxes", "gt_classes", "gt_valid",
+        )
+
+    model = build_model(cfg)
+    variables, tx, state = _make_state(model, cfg, rng, batch_size)
+    h, w = cfg.INPUT.INPUT_SIZE
+    nc = cfg.MODEL.YOLO.CLASSES
+    fields = ("image", "gt_boxes", "gt_classes", "gt_valid")
+
+    if arch in ("YOLO", "YOLOV5", "YOLOV7", "YOLOV7P"):
+        from yolov7_d2_tpu.models.meta_arch.yolov7 import (
+            _anchors_from_cfg,
+            anchor_yolo_loss_fn,
+        )
+
+        anchors = np.asarray(_anchors_from_cfg(cfg), np.float32)
+        variant = "yolov5" if arch == "YOLOV5" else (
+            cfg.MODEL.YOLO.VARIANT if arch == "YOLO" else "yolov7"
+        )
+        btype = cfg.MODEL.YOLO.LOSS.BUILD_TARGET_TYPE
+        if arch == "YOLOV5":
+            btype = "yolov5"
+
+        def loss_fn(out, batch, use_l1_flag):
+            return anchor_yolo_loss_fn(
+                out, batch, anchors, nc,
+                variant=variant, build_target_type=btype,
+                iou_type=cfg.MODEL.YOLO.IOU_TYPE,
+                ignore_threshold=max(cfg.MODEL.YOLO.IGNORE_THRESHOLD, 0.5),
+            )
+
+    elif arch == "YOLOV6":
+        from yolov7_d2_tpu.models.meta_arch.yolov6 import yolov6_losses
+
+        def loss_fn(out, batch, use_l1_flag):
+            return yolov6_losses(out, batch, nc)
+
+    elif arch == "YOLOF":
+        from yolov7_d2_tpu.models.meta_arch.yolof import yolof_losses
+
+        def loss_fn(out, batch, use_l1_flag):
+            return yolof_losses(out, batch, nc)
+
+    elif arch == "YOLOX_KPTS":
+        from yolov7_d2_tpu.models.meta_arch.yolox_kpts import yolox_kpts_losses
+
+        fields = fields + ("gt_keypoints",)
+
+        def loss_fn(out, batch, use_l1_flag):
+            return yolox_kpts_losses(
+                out, batch, num_classes=1,
+                num_keypoints=cfg.MODEL.YOLO.KEYPOINTS_NUM,
+            )
+
+    elif arch == "SparseInst":
+        from yolov7_d2_tpu.models.meta_arch.sparseinst import sparseinst_losses
+
+        fields = ("image", "gt_masks", "gt_classes", "gt_valid")
+        li = cfg.MODEL.SPARSE_INST.LOSS
+
+        def loss_fn(out, batch, use_l1_flag):
+            return sparseinst_losses(
+                out, batch["gt_masks"], batch["gt_classes"],
+                batch["gt_valid"],
+                num_classes=cfg.MODEL.SPARSE_INST.DECODER.NUM_CLASSES,
+                class_weight=li.CLASS_WEIGHT,
+                mask_pixel_weight=li.MASK_PIXEL_WEIGHT,
+                mask_dice_weight=li.MASK_DICE_WEIGHT,
+                objectness_weight=li.OBJECTNESS_WEIGHT,
+            )
+
+    elif arch == "SOLOv2":
+        from yolov7_d2_tpu.models.meta_arch.solov2 import solov2_losses
+
+        fields = ("image", "gt_masks", "gt_boxes", "gt_classes", "gt_valid")
+
+        def loss_fn(out, batch, use_l1_flag):
+            return solov2_losses(
+                out, batch["gt_masks"], batch["gt_boxes"],
+                batch["gt_classes"], batch["gt_valid"], (h, w),
+                num_classes=cfg.MODEL.SOLOV2.NUM_CLASSES,
+                num_grids=tuple(cfg.MODEL.SOLOV2.NUM_GRIDS),
+            )
+
+    elif arch in ("Detr", "DetrD2go", "AnchorDetr", "SMCADetr", "DABDetr",
+                  "DetrSegm"):
+        from yolov7_d2_tpu.models.meta_arch.detr import detr_losses
+
+        use_focal = (
+            cfg.MODEL.DETR.USE_FOCAL_LOSS or arch == "AnchorDetr"
+        )
+
+        def loss_fn(out, batch, use_l1_flag):
+            return detr_losses(
+                out, batch, cfg.MODEL.DETR.NUM_CLASSES, (h, w),
+                deep_supervision=cfg.MODEL.DETR.DEEP_SUPERVISION,
+                eos_coef=cfg.MODEL.DETR.NO_OBJECT_WEIGHT,
+                use_focal=use_focal,
+            )
+
+    else:
+        raise ValueError(f"No training wiring for meta-arch '{arch}'")
+
+    train_step = make_train_step(
+        model, loss_fn, tx,
+        ema_decay=cfg.SOLVER.EMA.DECAY if cfg.SOLVER.EMA.ENABLED else 0.0,
+    )
+    return model, state, train_step, fields
