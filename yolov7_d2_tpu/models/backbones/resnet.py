@@ -52,6 +52,7 @@ class Bottleneck(nn.Module):
     vd: bool = False               # avg-pool shortcut downsampling
     stride_in_1x1: bool = True     # d2 torchvision-style flag
     frozen_bn: bool = True
+    deform: bool = False           # DCN on the 3x3 (R-50-DCN configs)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,8 +61,19 @@ class Bottleneck(nn.Module):
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
         y = ConvBN(mid, 1, s1, frozen_bn=self.frozen_bn, dtype=self.dtype,
                    name="conv1")(x, train)
-        y = ConvBN(mid, 3, s3, frozen_bn=self.frozen_bn, dtype=self.dtype,
-                   name="conv2")(y, train)
+        if self.deform and s3 == 1:
+            from yolov7_d2_tpu.ops.deform_conv import DeformConv
+
+            y = DeformConv(mid, dtype=self.dtype, name="conv2_dcn")(y)
+            y = nn.BatchNorm(
+                use_running_average=(not train) or self.frozen_bn,
+                momentum=0.9, epsilon=BN_EPS, dtype=jnp.float32,
+                name="conv2_bn",
+            )(y)
+            y = nn.relu(y).astype(self.dtype)
+        else:
+            y = ConvBN(mid, 3, s3, frozen_bn=self.frozen_bn, dtype=self.dtype,
+                       name="conv2")(y, train)
         y = ConvBN(self.out_channels, 1, 1, act=False,
                    frozen_bn=self.frozen_bn, dtype=self.dtype, name="conv3")(
             y, train
@@ -92,6 +104,8 @@ class ResNet(nn.Module):
     out_features: Sequence[str] = ("res3", "res4", "res5")
     frozen_bn: bool = True
     stride_in_1x1: bool = True
+    # per-stage deformable-conv flags (MODEL.RESNETS.DEFORM_ON_PER_STAGE)
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,7 +132,9 @@ class ResNet(nn.Module):
                 x = Bottleneck(
                     c, stride=stride if i == 0 else 1, vd=self.vd,
                     stride_in_1x1=self.stride_in_1x1,
-                    frozen_bn=self.frozen_bn, dtype=self.dtype,
+                    frozen_bn=self.frozen_bn,
+                    deform=self.deform_on_per_stage[stage],
+                    dtype=self.dtype,
                     name=f"res{stage + 2}_{i}",
                 )(x, train)
             outputs[f"res{stage + 2}"] = x
@@ -137,6 +153,7 @@ def build_resnet_backbone(cfg, dtype=jnp.float32):
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         frozen_bn=(cfg.MODEL.RESNETS.NORM == "FrozenBN"),
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
         dtype=dtype,
     )
 

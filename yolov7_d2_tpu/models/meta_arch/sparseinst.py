@@ -211,6 +211,7 @@ class SparseInst(nn.Module):
     encoder_channels: int = 256
     resnet_depth: int = 50
     resnet_vd: bool = False
+    resnet_dcn: bool = False  # DCN in res4/res5 (sparse_inst_*_dcn configs)
     in_features: Sequence[str] = ("res3", "res4", "res5")
     scale_factor: float = 2.0
     dtype: Any = jnp.float32
@@ -226,6 +227,10 @@ class SparseInst(nn.Module):
         x = ((images - mean) / std).astype(self.dtype)
         feats = ResNet(
             depth=self.resnet_depth, vd=self.resnet_vd,
+            deform_on_per_stage=(
+                (False, False, True, True) if self.resnet_dcn
+                else (False, False, False, False)
+            ),
             out_features=self.in_features, dtype=self.dtype, name="backbone",
         )(x, train)
         fused = InstanceContextEncoder(
@@ -414,6 +419,7 @@ def build_sparseinst(cfg, dtype: Optional[Any] = None):
         encoder_channels=cfg.MODEL.SPARSE_INST.ENCODER.NUM_CHANNELS,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
         resnet_vd=cfg.MODEL.RESNETS.VD,
+        resnet_dcn=any(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
         in_features=tuple(cfg.MODEL.SPARSE_INST.ENCODER.IN_FEATURES),
         scale_factor=dec.SCALE_FACTOR,
         dtype=dtype,
