@@ -184,8 +184,8 @@ class AnchorDETR(nn.Module):
         return {
             "pred_logits": all_logits[-1],
             "pred_boxes": all_boxes[-1],
-            "aux_logits": jnp.stack(all_logits[:-1]),
-            "aux_boxes": jnp.stack(all_boxes[:-1]),
+            "aux_logits": jnp.stack(all_logits)[:-1],
+            "aux_boxes": jnp.stack(all_boxes)[:-1],
         }
 
 
@@ -323,8 +323,8 @@ class SMCADETR(nn.Module):
         return {
             "pred_logits": all_logits[-1],
             "pred_boxes": all_boxes[-1],
-            "aux_logits": jnp.stack(all_logits[:-1]),
-            "aux_boxes": jnp.stack(all_boxes[:-1]),
+            "aux_logits": jnp.stack(all_logits)[:-1],
+            "aux_boxes": jnp.stack(all_boxes)[:-1],
         }
 
 
@@ -399,8 +399,8 @@ class DABDETR(nn.Module):
         return {
             "pred_logits": all_logits[-1],
             "pred_boxes": all_boxes[-1],
-            "aux_logits": jnp.stack(all_logits[:-1]),
-            "aux_boxes": jnp.stack(all_boxes[:-1]),
+            "aux_logits": jnp.stack(all_logits)[:-1],
+            "aux_boxes": jnp.stack(all_boxes)[:-1],
         }
 
 

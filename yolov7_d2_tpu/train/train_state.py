@@ -76,12 +76,16 @@ def make_train_step(
             state.step >= use_l1_after if use_l1_after is not None else False
         )
 
+        # per-step rngs for stochastic layers (dropout, droppath)
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
         def compute_loss(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image"],
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": step_rng, "droppath": step_rng},
             )
             losses = loss_fn(out, batch, use_l1)
             return losses["total_loss"], (losses, mutated["batch_stats"])
