@@ -184,13 +184,18 @@ def simota_assign(
     masked_iou = jnp.where(candidate, pair_iou, 0.0)
     topk_ious = jax.lax.top_k(masked_iou, topk_candidates)[0]  # [G, k]
     dynamic_ks = jnp.clip(
-        jnp.sum(topk_ious, axis=-1).astype(jnp.int32), min=1
+        jnp.sum(topk_ious, axis=-1).astype(jnp.int32),
+        min=1, max=topk_candidates,
     )  # [G]
 
-    # per-gt: select its dynamic_k lowest-cost anchors via rank < k
-    order = jnp.argsort(cost, axis=-1)                       # [G, A]
-    ranks = jnp.argsort(order, axis=-1)                      # rank of each anchor
-    matching = (ranks < dynamic_ks[:, None]) & candidate     # [G, A] bool
+    # per-gt: select its dynamic_k lowest-cost anchors. A full [G, A]
+    # double-argsort is O(G·A·logA) sort work on TPU; since k <= 10 we only
+    # need the k-th smallest cost as a threshold — one bounded top_k.
+    low_costs = -jax.lax.top_k(-cost, topk_candidates)[0]    # [G, k] ascending
+    kth = jnp.take_along_axis(
+        low_costs, dynamic_ks[:, None] - 1, axis=1
+    )                                                        # [G, 1]
+    matching = (cost <= kth) & candidate                     # [G, A] bool
 
     # resolve anchors claimed by multiple gts: keep the min-cost gt
     claims = jnp.sum(matching.astype(jnp.int32), axis=0)     # [A]
