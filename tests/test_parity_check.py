@@ -37,6 +37,14 @@ def test_diff_report_self_comparison_passes():
     assert first_divergence(rows) is None
 
 
+def test_diff_report_nchw_reference():
+    ours = {"l": np.arange(24.0).reshape(1, 2, 3, 4)}
+    ref_nchw = {"l": np.transpose(np.arange(24.0).reshape(1, 2, 3, 4),
+                                  (0, 3, 1, 2))}
+    rows = diff_report(ours, ref_nchw, ref_is_nchw=True)
+    assert all(ok for *_, ok in rows)
+
+
 def test_diff_report_catches_divergence():
     a = {"layer1": np.ones((1, 4, 4, 2)), "layer2": np.ones((1, 4, 4, 2))}
     b = {"layer1": np.ones((1, 4, 4, 2)),

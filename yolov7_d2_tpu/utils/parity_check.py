@@ -48,8 +48,8 @@ def capture_activations(
 
 
 def to_nhwc(arr: np.ndarray) -> np.ndarray:
-    """Best-effort torch-NCHW -> NHWC normalization for 4D tensors."""
-    if arr.ndim == 4 and arr.shape[1] <= arr.shape[2] and arr.shape[1] <= arr.shape[3]:
+    """torch NCHW -> NHWC for 4D tensors (no-op for other ranks)."""
+    if arr.ndim == 4:
         return np.transpose(arr, (0, 2, 3, 1))
     return arr
 
@@ -60,11 +60,13 @@ def diff_report(
     name_map: Optional[Dict[str, str]] = None,
     rtol: float = 1e-3,
     atol: float = 1e-3,
+    ref_is_nchw: bool = False,
 ) -> List[Tuple[str, float, float, bool]]:
     """Compare activations; returns [(name, max_abs_err, rel_err, ok)].
 
     ``name_map`` translates reference layer names to ours; unmapped names
-    are matched by identity.
+    are matched by identity. Set ``ref_is_nchw`` when the reference dump
+    came from torch (4D arrays are transposed to NHWC before comparison).
     """
     rows = []
     for ref_name, ref_val in reference.items():
@@ -73,7 +75,10 @@ def diff_report(
             rows.append((ref_name, float("nan"), float("nan"), False))
             continue
         a = ours[our_name].astype(np.float64)
-        b = to_nhwc(np.asarray(ref_val)).astype(np.float64)
+        b = np.asarray(ref_val)
+        if ref_is_nchw:
+            b = to_nhwc(b)
+        b = b.astype(np.float64)
         if a.shape != b.shape:
             rows.append((ref_name, float("inf"), float("inf"), False))
             continue
