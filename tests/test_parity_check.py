@@ -20,11 +20,11 @@ def test_capture_activations_yields_layers():
     assert any("stem" in k for k in acts)
 
 
-def test_to_nhwc_detects_layout():
+def test_to_nhwc_transposes_4d():
     nchw = np.zeros((1, 3, 8, 8))
     assert to_nhwc(nchw).shape == (1, 8, 8, 3)
-    nhwc = np.zeros((1, 8, 8, 3))
-    assert to_nhwc(nhwc).shape == (1, 8, 8, 3)
+    # non-4D passes through
+    assert to_nhwc(np.zeros((5, 7))).shape == (5, 7)
 
 
 def test_diff_report_self_comparison_passes():
