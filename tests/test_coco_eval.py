@@ -118,3 +118,34 @@ def test_polygons_to_mask():
     assert mask.shape == (32, 32)
     assert mask[10, 10] and not mask[30, 30]
     assert 400 <= mask.sum() <= 450
+
+
+def test_oks_matrix_perfect_and_offset():
+    from yolov7_d2_tpu.evaluation.coco_eval import oks_matrix
+
+    g = np.zeros((1, 17, 3))
+    g[0, :, 0] = 50.0
+    g[0, :, 1] = 50.0
+    g[0, :5, 2] = 2.0  # 5 visible
+    d_perfect = g.copy()
+    d_off = g.copy()
+    d_off[0, :, 0] += 30.0
+    areas = np.array([1000.0])
+    m = oks_matrix(np.concatenate([d_perfect, d_off]), g, areas)
+    assert m.shape == (2, 1)
+    assert m[0, 0] == pytest.approx(1.0)
+    assert m[1, 0] < 0.5
+
+
+def test_keypoint_evaluator_perfect_ap():
+    from yolov7_d2_tpu.evaluation.coco_eval import COCOKeypointEvaluator
+
+    ev = COCOKeypointEvaluator()
+    kpts = np.zeros((2, 17, 3))
+    kpts[:, :, 0] = np.array([[30.0], [90.0]])
+    kpts[:, :, 1] = 40.0
+    kpts[:, :, 2] = 2.0
+    ev.add_gt_keypoints(0, kpts, areas=np.array([900.0, 900.0]))
+    ev.add_pred_keypoints(0, kpts, scores=np.array([0.9, 0.8]))
+    res = ev.evaluate()
+    assert res["AP"] == pytest.approx(1.0, abs=1e-6)

@@ -304,6 +304,104 @@ class COCOEvaluator:
         }
 
 
+COCO_KPT_SIGMAS = np.array(
+    [
+        0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+        0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+    ]
+)
+
+
+def oks_matrix(
+    det_kpts: np.ndarray,   # [D, P, 3] (x, y, score)
+    gt_kpts: np.ndarray,    # [G, P, 3] (x, y, visibility)
+    gt_areas: np.ndarray,   # [G]
+    sigmas: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Object-keypoint-similarity matrix [D, G] (the COCO OKS formula)."""
+    if len(det_kpts) == 0 or len(gt_kpts) == 0:
+        return np.zeros((len(det_kpts), len(gt_kpts)))
+    s = sigmas if sigmas is not None else COCO_KPT_SIGMAS[: det_kpts.shape[1]]
+    var = (2 * s) ** 2
+    d2 = (
+        (det_kpts[:, None, :, 0] - gt_kpts[None, :, :, 0]) ** 2
+        + (det_kpts[:, None, :, 1] - gt_kpts[None, :, :, 1]) ** 2
+    )                                                   # [D, G, P]
+    vis = gt_kpts[None, :, :, 2] > 0
+    e = d2 / var[None, None, :] / (gt_areas[None, :, None] + np.spacing(1)) / 2
+    oks = np.where(vis, np.exp(-e), 0.0).sum(-1)
+    nvis = np.maximum(vis.sum(-1), 1)
+    return oks / nvis
+
+
+class COCOKeypointEvaluator(COCOEvaluator):
+    """Keypoint AP: greedy matching on OKS instead of box IoU (the COCO
+    'keypoints' iouType the reference gets from pycocotools)."""
+
+    def __init__(self, num_classes: int = 1):
+        super().__init__(num_classes, iou_type="keypoints")
+
+    def _evaluate_img_cat(self, image_id, cat, area_rng, max_dets):
+        gts = [g for g in self._gts[image_id] if g["class"] == cat]
+        dets = [d for d in self._dets[image_id] if d["class"] == cat]
+        if not gts and not dets:
+            return None
+        dets = sorted(dets, key=lambda d: -d["score"])[:max_dets]
+        gt_ignore = np.array(
+            [
+                g["iscrowd"] or g["area"] < area_rng[0]
+                or g["area"] > area_rng[1]
+                for g in gts
+            ],
+            bool,
+        )
+        order = np.argsort(gt_ignore, kind="stable")
+        gts = [gts[i] for i in order]
+        gt_ignore = gt_ignore[order]
+        iscrowd = np.array([g["iscrowd"] for g in gts], bool)
+        ious = oks_matrix(
+            np.stack([d["mask"] for d in dets]) if dets else np.zeros((0, 17, 3)),
+            np.stack([g["mask"] for g in gts]) if gts else np.zeros((0, 17, 3)),
+            np.array([g["area"] for g in gts]) if gts else np.zeros((0,)),
+        )
+        scores = np.array([d["score"] for d in dets])
+        out = []
+        for t in IOU_THRS:
+            match, ignore = _match_image(ious, scores, gt_ignore, iscrowd, t)
+            out.append((match, ignore))
+        return {
+            "scores": scores,
+            "matches": out,
+            "num_gt": int((~gt_ignore).sum()),
+        }
+
+    def add_gt_keypoints(self, image_id, keypoints, areas, classes=None):
+        """keypoints [G, P, 3]; areas [G] (the OKS scale)."""
+        self._image_ids.add(image_id)
+        for i in range(len(keypoints)):
+            self._gts[image_id].append(
+                {
+                    "bbox": np.zeros(4),
+                    "class": int(classes[i]) if classes is not None else 0,
+                    "iscrowd": False,
+                    "area": float(areas[i]),
+                    "mask": np.asarray(keypoints[i]),  # kpts ride this slot
+                }
+            )
+
+    def add_pred_keypoints(self, image_id, keypoints, scores, classes=None):
+        self._image_ids.add(image_id)
+        for i in range(len(keypoints)):
+            self._dets[image_id].append(
+                {
+                    "bbox": np.zeros(4),
+                    "score": float(scores[i]),
+                    "class": int(classes[i]) if classes is not None else 0,
+                    "mask": np.asarray(keypoints[i]),
+                }
+            )
+
+
 class COCOMaskEvaluator(COCOEvaluator):
     """Instance-segmentation evaluator (box-free, reference
     coco_evaluation.py:79: SparseInst outputs have no boxes — IoUs come from

@@ -234,6 +234,53 @@ def yolox_kpts_losses(
     return losses
 
 
+def yolox_kpts_postprocess(
+    head_out: Dict[str, jnp.ndarray],
+    conf_threshold: float = 0.01,
+    nms_threshold: float = 0.65,
+    max_detections: int = 100,
+    pre_nms_topk: int = 1024,
+):
+    """Decode boxes + keypoints, NMS, return Detections with keypoints
+    (the counterpart of postprocess_yolox_kpts, utils/boxes.py:240-306)."""
+    from yolov7_d2_tpu.ops.nms import batched_nms
+
+    outputs = head_out["outputs"]
+    grids, strides = head_out["grids"], head_out["strides"]
+    from yolov7_d2_tpu.models.heads.yolox_head import decode_outputs
+
+    boxes_cxcywh, obj_logits, cls_logits = decode_outputs(outputs, grids, strides)
+    kpts = decode_kpts(head_out["kpts"], grids, strides)   # [B, A, P, 3]
+    boxes = cxcywh_to_xyxy(boxes_cxcywh)
+    obj = jax.nn.sigmoid(obj_logits)
+    cls_prob = jax.nn.sigmoid(cls_logits)
+    scores = obj * jnp.max(cls_prob, axis=-1)
+    scores = jnp.where(scores >= conf_threshold, scores, 0.0)
+    best_cls = jnp.argmax(cls_prob, axis=-1)
+
+    top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
+    top_kpts = jnp.take_along_axis(kpts, top_idx[..., None, None], axis=1)
+
+    from yolov7_d2_tpu.structures.instances import Detections
+
+    def _one(b, s, c, k):
+        keep_idx, keep_valid = batched_nms(b, s, c, nms_threshold, max_detections)
+        sel = jnp.clip(keep_idx, 0)
+        kk = k[sel]
+        kk = kk.at[..., 2].set(jax.nn.sigmoid(kk[..., 2]))  # vis -> score
+        return Detections(
+            boxes=b[sel],
+            scores=jnp.where(keep_valid, s[sel], 0.0),
+            classes=c[sel].astype(jnp.int32),
+            valid=keep_valid,
+            keypoints=kk,
+        )
+
+    return jax.vmap(_one)(top_boxes, top_scores, top_cls, top_kpts)
+
+
 @META_ARCH_REGISTRY.register(name="YOLOX_KPTS")
 def build_yolox_kpts(cfg, dtype: Optional[Any] = None):
     dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)

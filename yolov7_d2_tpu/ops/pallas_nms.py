@@ -41,25 +41,36 @@ def _nms_kernel(thresh_ref, x0_ref, y0_ref, x1_ref, y1_ref, s_ref,
     n = x0.shape[0]
     max_out = idx_out_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (1, max_out), 1)[0]
+    idx_out_ref[0, :] = jnp.full((max_out,), -1, jnp.int32)
+    valid_out_ref[0, :] = jnp.zeros((max_out,), jnp.int32)
 
     def body(i, _):
         live = live_ref[0, :]
-        best = jnp.argmax(live)
-        best_ok = live[best] > NEG_INF * 0.5
-        idx_out_ref[0, i] = jnp.where(best_ok, best, -1)
-        valid_out_ref[0, i] = best_ok.astype(jnp.int32)
-        # IoU of the selected box vs all candidates (vector ops in VMEM)
-        bx0, by0 = x0[best], y0[best]
-        bx1, by1 = x1[best], y1[best]
+        # Pallas TPU forbids dynamic vector indexing: pick the winner via
+        # masked reductions instead of live[best] / x0[best].
+        maxval = jnp.max(live)
+        best = jnp.argmax(live).astype(jnp.int32)
+        best_ok = maxval > NEG_INF * 0.5
+        sel = col == best
+        write = ocol == i
+        idx_out_ref[0, :] = jnp.where(
+            write, jnp.where(best_ok, best, -1), idx_out_ref[0, :]
+        )
+        valid_out_ref[0, :] = jnp.where(
+            write, best_ok.astype(jnp.int32), valid_out_ref[0, :]
+        )
+        bx0 = jnp.sum(jnp.where(sel, x0, 0.0))
+        by0 = jnp.sum(jnp.where(sel, y0, 0.0))
+        bx1 = jnp.sum(jnp.where(sel, x1, 0.0))
+        by1 = jnp.sum(jnp.where(sel, y1, 0.0))
         barea = jnp.maximum(bx1 - bx0, 0.0) * jnp.maximum(by1 - by0, 0.0)
         iw = jnp.maximum(jnp.minimum(x1, bx1) - jnp.maximum(x0, bx0), 0.0)
         ih = jnp.maximum(jnp.minimum(y1, by1) - jnp.maximum(y0, by0), 0.0)
         inter = iw * ih
         iou = inter / (area + barea - inter + 1e-9)
-        suppress = (iou > thresh) | (col == best)
-        live_ref[0, :] = jnp.where(
-            best_ok & suppress, NEG_INF, live
-        )
+        suppress = (iou > thresh) | sel
+        live_ref[0, :] = jnp.where(best_ok & suppress, NEG_INF, live)
         return 0
 
     jax.lax.fori_loop(0, max_out, body, 0)
