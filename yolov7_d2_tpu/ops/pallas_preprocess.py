@@ -34,11 +34,19 @@ def _on_tpu() -> bool:
 
 
 def _normalize_kernel(stats_ref, img_ref, out_ref):
-    """One image row-block: uint8 -> (x - mean) / std in out dtype."""
-    x = img_ref[:].astype(jnp.float32)
-    mean = stats_ref[0]  # [3] broadcast over H, W
-    std = stats_ref[1]
-    out_ref[:] = ((x - mean) / std).astype(out_ref.dtype)
+    """One image row-block: uint8 -> (x - mean) / std in out dtype.
+
+    Layout: channels are folded into the lane dimension ([B, H, W*C]) so
+    tiles are dense — a trailing dim of 3 would waste 125/128 lanes.
+    Mean/std arrive pre-tiled to the full W*C row. Mosaic has no uint8->f32
+    cast; bitcast to int8 (same width) and undo two's complement.
+    """
+    s8 = pltpu.bitcast(img_ref[:], jnp.int8)
+    x = s8.astype(jnp.float32)
+    x = jnp.where(x < 0.0, x + 256.0, x)
+    mean = stats_ref[0:1, :]  # [1, W*C] broadcasts over rows
+    std = stats_ref[1:2, :]
+    out_ref[:] = ((x - mean[None]) / std[None]).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("out_dtype", "block_rows"))
@@ -53,19 +61,25 @@ def fused_normalize(
     b, h, w, c = images.shape
     grid = (b, pl.cdiv(h, block_rows))
     interpret = not _on_tpu()
-    return pl.pallas_call(
+    flat = images.reshape(b, h, w * c)
+    stats = jnp.stack(
+        [jnp.tile(mean.astype(jnp.float32), w),
+         jnp.tile(std.astype(jnp.float32), w)]
+    )                                           # [2, W*C]
+    out = pl.pallas_call(
         _normalize_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * c), out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, 3), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_rows, w, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((2, w * c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, w * c), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_rows, w, c),
-                               lambda i, j: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, block_rows, w * c),
+                               lambda i, j: (i, j, 0)),
         interpret=interpret,
-    )(jnp.stack([mean, std]).astype(jnp.float32), images)
+    )(stats, flat)
+    return out.reshape(b, h, w, c)
 
 
 def _grid_mask_kernel(params_ref, img_ref, out_ref):
