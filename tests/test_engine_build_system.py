@@ -68,6 +68,7 @@ def _batch(fields, b=2, g=4, s=64):
     [
         "YOLOX", "YOLO", "YOLOV5", "YOLOV6", "YOLOV7", "YOLOF",
         "YOLOX_KPTS", "SparseInst", "SOLOv2", "Detr", "AnchorDetr",
+        "YOLOMask", "DetrSegm",
     ],
 )
 def test_build_system_one_step(arch):

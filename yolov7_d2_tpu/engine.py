@@ -230,6 +230,8 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
         use_focal = (
             cfg.MODEL.DETR.USE_FOCAL_LOSS or arch == "AnchorDetr"
         )
+        if arch == "DetrSegm":
+            fields = fields + ("gt_masks",)
 
         def loss_fn(out, batch, use_l1_flag):
             return detr_losses(
@@ -238,6 +240,29 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
                 eos_coef=cfg.MODEL.DETR.NO_OBJECT_WEIGHT,
                 use_focal=use_focal,
             )
+
+    elif arch == "YOLOMask":
+        from yolov7_d2_tpu.models.meta_arch.yolomask import orien_loss
+        from yolov7_d2_tpu.models.meta_arch.yolov7 import (
+            _anchors_from_cfg,
+            anchor_yolo_loss_fn,
+        )
+
+        anchors = np.asarray(_anchors_from_cfg(cfg), np.float32)
+        fields = fields + ("gt_masks",)
+
+        def loss_fn(out, batch, use_l1_flag):
+            det = anchor_yolo_loss_fn(
+                out, batch, anchors, nc,
+                ignore_threshold=max(cfg.MODEL.YOLO.IGNORE_THRESHOLD, 0.5),
+            )
+            l_orien = orien_loss(
+                out["orien"], batch["gt_masks"], batch["gt_boxes"],
+                batch["gt_valid"],
+            )
+            det["loss_orien"] = l_orien
+            det["total_loss"] = det["total_loss"] + l_orien
+            return det
 
     else:
         raise ValueError(f"No training wiring for meta-arch '{arch}'")

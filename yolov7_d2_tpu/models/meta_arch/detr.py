@@ -240,6 +240,41 @@ def detr_losses(
         gt_norm, batch["gt_classes"], batch["gt_valid"],
         num_classes, eos_coef, use_focal,
     )
+    # segmentation term (DETRsegm: dice + focal on matched query masks,
+    # reference SetCriterion loss_masks)
+    if "pred_masks" in out and "gt_masks" in batch:
+        from yolov7_d2_tpu.ops.losses import dice_loss, sigmoid_focal_loss
+
+        pred_of_gt, ok = detr_match(
+            jax.lax.stop_gradient(out["pred_logits"]),
+            jax.lax.stop_gradient(out["pred_boxes"]),
+            gt_norm, batch["gt_classes"], batch["gt_valid"],
+            use_focal=use_focal,
+        )
+        masks = out["pred_masks"]                       # [B, Q, Hm, Wm]
+        b_, _, hm, wm = masks.shape
+        g_ = batch["gt_masks"].shape[1]
+        gt_small = (
+            jax.image.resize(
+                batch["gt_masks"].astype(jnp.float32), (b_, g_, hm, wm),
+                "bilinear",
+            ) > 0.5
+        ).astype(jnp.float32)
+        matched = jnp.take_along_axis(
+            masks, pred_of_gt[..., None, None], axis=1
+        )
+        okf = ok.astype(jnp.float32)
+        num_m = jnp.maximum(jnp.sum(okf), 1.0)
+        mp = jax.nn.sigmoid(matched).reshape(b_, g_, -1)
+        mt = gt_small.reshape(b_, g_, -1)
+        losses["loss_mask_dice"] = jnp.sum(
+            dice_loss(mp, mt, smooth=1.0) * okf
+        ) / num_m
+        losses["loss_mask_focal"] = jnp.sum(
+            sigmoid_focal_loss(
+                matched.reshape(b_, g_, -1), mt
+            ).mean(-1) * okf
+        ) / num_m
     if deep_supervision:
         L = out["aux_logits"].shape[0]
         for i in range(L):
