@@ -148,3 +148,22 @@ def test_registry_has_all_meta_archs():
         "YOLOF", "YOLOX_KPTS", "SparseInst", "Detr",
     ]:
         assert name in META_ARCH_REGISTRY, name
+
+
+def test_yolox_kpts_postprocess_contract():
+    from yolov7_d2_tpu.models.meta_arch.yolox_kpts import (
+        yolox_kpts_postprocess,
+    )
+
+    model = YOLOXKPTS(num_keypoints=17, width_mul=0.25, depth_mul=0.33)
+    imgs = jnp.zeros((2, S, S, 3))
+    v = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    out = model.apply(v, imgs, train=False)
+    dets = yolox_kpts_postprocess(
+        out, conf_threshold=0.0, max_detections=5, pre_nms_topk=32
+    )
+    assert dets.boxes.shape == (2, 5, 4)
+    assert dets.keypoints.shape == (2, 5, 17, 3)
+    # visibility scores squashed to [0, 1]
+    k = np.asarray(dets.keypoints[..., 2])
+    assert (k >= 0).all() and (k <= 1).all()
