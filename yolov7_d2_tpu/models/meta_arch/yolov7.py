@@ -139,6 +139,7 @@ def anchor_yolo_postprocess(
     scores = obj * jnp.max(cls_prob, axis=-1)
     scores = jnp.where(scores >= conf_threshold, scores, 0.0)
 
+    pre_nms_topk = min(pre_nms_topk, scores.shape[-1])
     top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)

@@ -124,6 +124,7 @@ def yolox_postprocess(
     scores = jnp.where(scores >= conf_threshold, scores, 0.0)
 
     # pre-NMS top-k keeps the NMS candidate set small and static
+    pre_nms_topk = min(pre_nms_topk, scores.shape[-1])
     top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)   # [B, K]
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
