@@ -131,10 +131,41 @@ def main():
     predictor = DefaultPredictor(cfg, args.weights)
     os.makedirs(args.output, exist_ok=True)
 
+    def run_video(source):
+        """Video file / webcam loop (reference demo.py video path)."""
+        cap = cv2.VideoCapture(0 if source == "webcam" else source)
+        writer = None
+        n = 0
+        while cap.isOpened():
+            ok, frame = cap.read()
+            if not ok:
+                break
+            res = predictor(frame)
+            vis = vis_res_fast(
+                frame, res["boxes"], res["scores"], res["classes"]
+            )
+            if writer is None and source != "webcam":
+                fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+                fps = cap.get(cv2.CAP_PROP_FPS) or 25
+                writer = cv2.VideoWriter(
+                    os.path.join(args.output, "out_" + os.path.basename(source)),
+                    fourcc, fps, (vis.shape[1], vis.shape[0]),
+                )
+            if writer is not None:
+                writer.write(vis)
+            n += 1
+        cap.release()
+        if writer is not None:
+            writer.release()
+        print(f"{source}: processed {n} frames")
+
     paths = []
     for pattern in args.input:
         paths.extend(glob.glob(pattern) if "*" in pattern else [pattern])
     for path in paths:
+        if path == "webcam" or path.endswith((".mp4", ".avi", ".mov", ".mkv")):
+            run_video(path)
+            continue
         img = cv2.imread(path)
         if img is None:
             print(f"skip unreadable {path}")
