@@ -90,3 +90,16 @@ def test_precise_bn_recomputes_stats():
     # average of the two mutated stats is deterministic and finite
     assert np.isfinite(np.asarray(new_stats["BatchNorm_0"]["mean"])).all()
     assert float(new_stats["BatchNorm_0"]["mean"][0]) > 0.0
+
+
+def test_verify_results():
+    from yolov7_d2_tpu.config import get_cfg
+    from yolov7_d2_tpu.evaluation.testing import flatten_results, verify_results
+
+    cfg = get_cfg()
+    cfg.TEST.EXPECTED_RESULTS = [["AP", 0.40, 0.02]]
+    assert verify_results(cfg, {"AP": 0.41})
+    assert not verify_results(cfg, {"AP": 0.30})
+    assert not verify_results(cfg, {"other": 0.40})
+    flat = flatten_results({"bbox": {"AP": 1.0, "AP50": 2.0}})
+    assert flat == {"bbox/AP": 1.0, "bbox/AP50": 2.0}

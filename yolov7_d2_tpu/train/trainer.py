@@ -128,6 +128,7 @@ class Trainer:
         start_iter: int = 0,
         output_dir: str = "./output",
         batch_fields: Optional[Iterable[str]] = None,
+        metrics_period: int = 20,
     ):
         self.mesh = mesh or build_mesh()
         self.jitted_step = jax.jit(train_step, donate_argnums=(0,))
@@ -138,6 +139,9 @@ class Trainer:
         self.storage = EventStorage(start_iter)
         self.output_dir = output_dir
         self.batch_fields = tuple(batch_fields or self.DEFAULT_FIELDS)
+        # fetching metrics forces a host<->device sync; doing it every step
+        # would stall the pipeline, so sync only every `metrics_period` steps
+        self.metrics_period = max(metrics_period, 1)
 
     @staticmethod
     def default_writers(output_dir: str, max_iter: int, period: int = 20):
@@ -157,9 +161,12 @@ class Trainer:
             )
             self.state, metrics = self.jitted_step(self.state, batch)
             self.storage.step()
-            # metrics fetch is async; only small scalars cross the host gap
-            for k, v in metrics.items():
-                self.storage.put_scalar(k, jax.device_get(v))
+            if (
+                self.storage.iter % self.metrics_period == 0
+                or self.storage.iter >= self.max_iter
+            ):
+                for k, v in metrics.items():
+                    self.storage.put_scalar(k, jax.device_get(v))
             for h in self.hooks:
                 h.after_step(self)
         for h in self.hooks:
