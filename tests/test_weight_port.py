@@ -170,3 +170,71 @@ def test_shape_mismatch_raises():
     bad = {"backbone.stem.conv.conv.weight": np.zeros((7, 7, 3, 3), np.float32)}
     with pytest.raises(ValueError):
         port_torch_state_dict(bad, variables)
+
+
+def test_d2_resnet_roundtrip():
+    """flax ResNet -> synthetic d2-style state dict -> port back == identity
+    (validates map_d2_resnet_name over the whole tree)."""
+    import re as _re
+
+    from yolov7_d2_tpu.models.backbones.resnet import ResNet
+    from yolov7_d2_tpu.utils.weight_port import port_d2_resnet_state_dict
+
+    bb = ResNet(depth=18, frozen_bn=False)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    variables = bb.init(jax.random.PRNGKey(3), imgs)
+    variables = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(x.size % 89), x.shape),
+        variables,
+    )
+
+    sd = {}
+
+    def emit(parts, v, collection):
+        leaf = parts[-1]
+        owner = parts[-2]  # 'conv' or 'bn'
+        if parts[0] == "stem":
+            mod = "backbone.stem.conv1"
+        else:
+            m = _re.match(r"res(\d)_(\d+)", parts[0])
+            mod = f"backbone.res{m.group(1)}.{m.group(2)}.{parts[1]}"
+        v = np.asarray(v)
+        if owner == "bn":
+            name = {"scale": "weight", "bias": "bias",
+                    "mean": "running_mean", "var": "running_var"}[leaf]
+            sd[f"{mod}.norm.{name}"] = v
+        elif leaf == "kernel":
+            sd[f"{mod}.weight"] = np.transpose(v, (3, 2, 0, 1))
+        else:
+            sd[f"{mod}.{leaf}"] = v
+
+    def walk(tree, parts, collection):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, parts + [k], collection)
+            else:
+                emit(parts + [k], v, collection)
+
+    walk(variables["params"], [], "params")
+    walk(variables["batch_stats"], [], "batch_stats")
+    assert len(sd) > 50
+
+    # our flax tree sits under a 'backbone' module inside the meta-archs;
+    # wrap the bare ResNet tree the same way for porting
+    fresh = bb.init(jax.random.PRNGKey(0), imgs)
+    target = {
+        "params": {"backbone": fresh["params"]},
+        "batch_stats": {"backbone": fresh["batch_stats"]},
+    }
+    ported, report = port_d2_resnet_state_dict(sd, target, strict=True)
+    assert not report["unused"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["params"]),
+        jax.tree_util.tree_leaves(ported["params"]["backbone"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["batch_stats"]),
+        jax.tree_util.tree_leaves(ported["batch_stats"]["backbone"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

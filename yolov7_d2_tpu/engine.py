@@ -90,6 +90,7 @@ def build_yolox_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2
         tx,
         ema_decay=cfg.SOLVER.EMA.DECAY if cfg.SOLVER.EMA.ENABLED else 0.0,
         use_l1_after=use_l1_after,
+        remat=cfg.TPU.REMAT,
     )
 
     def postprocess(head_out):
@@ -270,5 +271,6 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
     train_step = make_train_step(
         model, loss_fn, tx,
         ema_decay=cfg.SOLVER.EMA.DECAY if cfg.SOLVER.EMA.ENABLED else 0.0,
+        remat=cfg.TPU.REMAT,
     )
     return model, state, train_step, fields

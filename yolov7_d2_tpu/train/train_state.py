@@ -63,12 +63,16 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_decay: float = 0.0,
     use_l1_after: Optional[int] = None,
+    remat: bool = False,
 ) -> Callable:
     """Build the jittable train step.
 
     ``loss_fn(head_out, batch, use_l1) -> dict with 'total_loss'``.
     ``use_l1_after`` reproduces the reference's L1-enable broadcast
     (yolox.py:105-121) as a deterministic function of state.step.
+    ``remat`` (cfg TPU.REMAT) checkpoints the forward — activations are
+    recomputed in the backward pass, trading ~1 extra forward for peak-HBM
+    headroom (bigger batches / inputs).
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -79,14 +83,20 @@ def make_train_step(
         # per-step rngs for stochastic layers (dropout, droppath)
         step_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
 
-        def compute_loss(params):
-            out, mutated = model.apply(
+        def forward(params, images):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                images,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": step_rng, "droppath": step_rng},
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def compute_loss(params):
+            out, mutated = forward(params, batch["image"])
             losses = loss_fn(out, batch, use_l1)
             return losses["total_loss"], (losses, mutated["batch_stats"])
 

@@ -99,6 +99,65 @@ def map_yolox_torch_name(name: str) -> Tuple[str, ...]:
     return tuple(name.replace(".", "/").split("/"))
 
 
+def map_d2_resnet_name(name: str) -> Tuple[str, ...]:
+    """Translate detectron2-style ResNet state-dict keys (the SparseInst /
+    DETR backbone checkpoints) into our flax paths.
+
+    d2 layout: ``backbone.stem.conv1.{weight,norm.*}``,
+    ``backbone.res{2..5}.{i}.{conv1,conv2,conv3,shortcut}.{weight,norm.*}``.
+    Ours: ``backbone/stem/conv``(+bn), ``backbone/res{s}_{i}/{convK,shortcut}/
+    {conv,bn}``.
+    """
+    m = re.match(r"^backbone\.stem\.conv1\.norm$", name)
+    if m:
+        return ("backbone", "stem", "bn")
+    m = re.match(r"^backbone\.stem\.conv1$", name)
+    if m:
+        return ("backbone", "stem", "conv")
+    m = re.match(r"^backbone\.res(\d)\.(\d+)\.(conv\d|shortcut)(\.norm)?$",
+                 name)
+    if m:
+        stage, idx, part, norm = m.groups()
+        return (
+            "backbone", f"res{stage}_{idx}", part, "bn" if norm else "conv",
+        )
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_d2_resnet_key(key: str):
+    """Full-key variant: d2 BN keys end in ``norm.weight`` etc; split the
+    module path and the parameter leaf for :func:`port_torch_state_dict`."""
+    module, _, leaf = key.rpartition(".")
+    if module.endswith(".norm"):
+        module = module[: -len(".norm")]
+        path = map_d2_resnet_name(module + ".norm")
+    else:
+        path = map_d2_resnet_name(module)
+    return path, leaf
+
+
+def port_d2_resnet_state_dict(state_dict, variables, strict: bool = False):
+    """Pour a d2-format ResNet checkpoint (BN as ``.norm.*``) into our
+    variables; same semantics as :func:`port_torch_state_dict`."""
+    renamed = {}
+    for key, tensor in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        module, _, leaf = key.rpartition(".")
+        if module.endswith(".norm"):
+            base = module[: -len(".norm")]
+            new_key = ".".join(map_d2_resnet_name(base + ".norm")) + "." + leaf
+            # BN weight stays 1-D -> scale; running stats keep their names
+            renamed[new_key.replace("/", ".")] = tensor
+        else:
+            new_key = ".".join(map_d2_resnet_name(module)) + "." + leaf
+            renamed[new_key.replace("/", ".")] = tensor
+    return port_torch_state_dict(
+        renamed, variables, name_mapper=lambda n: tuple(n.split(".")),
+        strict=strict,
+    )
+
+
 def port_torch_state_dict(
     state_dict: Mapping[str, np.ndarray],
     variables: Dict[str, Any],
