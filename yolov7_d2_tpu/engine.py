@@ -18,7 +18,6 @@ from yolov7_d2_tpu.models.meta_arch.yolox import yolox_loss_fn, yolox_postproces
 from yolov7_d2_tpu.train.optimizer import build_optimizer
 from yolov7_d2_tpu.train.train_state import (
     TrainState,
-    create_train_state,
     make_eval_step,
     make_train_step,
 )

@@ -9,7 +9,7 @@ and report pass/fail — the CI hook for mAP-regression gating.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 logger = logging.getLogger("yolov7_d2_tpu")
 

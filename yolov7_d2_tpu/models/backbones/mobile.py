@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -18,8 +18,6 @@ per-image seed, so the host never touches pixel data for it.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -11,7 +11,6 @@ are averaged by XLA collectives over the mesh's ``data`` axis automatically.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -16,7 +16,6 @@ import time
 from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from yolov7_d2_tpu.parallel.mesh import build_mesh, shard_batch_pytree
