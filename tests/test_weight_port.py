@@ -238,3 +238,94 @@ def test_d2_resnet_roundtrip():
         jax.tree_util.tree_leaves(ported["batch_stats"]["backbone"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_detr_attention_split_and_roundtrip():
+    """flax DETR -> synthetic reference-style torch dict (fused qkv) ->
+    port back == identity over the transformer + heads."""
+    import re as _re
+
+    from yolov7_d2_tpu.models.meta_arch.detr import DETR
+    from yolov7_d2_tpu.utils.weight_port import port_detr_state_dict
+
+    H = 4
+    model = DETR(num_classes=3, hidden_dim=32, num_queries=6, nheads=H,
+                 enc_layers=1, dec_layers=1, dim_feedforward=64,
+                 resnet_depth=18)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(7), imgs, train=False)
+    variables = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(x.size % 83), x.shape),
+        variables,
+    )
+
+    sd = {}
+
+    def emit_attn(prefix_torch, tree):
+        e = tree["query"]["kernel"].shape[0]
+        hd = e // H
+        ws, bs = [], []
+        for part in ("query", "key", "value"):
+            w = np.asarray(tree[part]["kernel"]).reshape(e, e).T  # [E,E]
+            b = np.asarray(tree[part]["bias"]).reshape(e)
+            ws.append(w); bs.append(b)
+        sd[prefix_torch + ".in_proj_weight"] = np.concatenate(ws, 0)
+        sd[prefix_torch + ".in_proj_bias"] = np.concatenate(bs, 0)
+        sd[prefix_torch + ".out_proj.weight"] = (
+            np.asarray(tree["out"]["kernel"]).reshape(e, e).T
+        )
+        sd[prefix_torch + ".out_proj.bias"] = np.asarray(tree["out"]["bias"])
+
+    p = variables["params"]
+    t = p["transformer"]
+    emit_attn("detr.transformer.encoder.layers.0.self_attn",
+              t["enc_0"]["self_attn"])
+    emit_attn("detr.transformer.decoder.layers.0.self_attn",
+              t["dec_0"]["self_attn"])
+    emit_attn("detr.transformer.decoder.layers.0.multihead_attn",
+              t["dec_0"]["cross_attn"])
+
+    def emit_dense(prefix_torch, tree):
+        sd[prefix_torch + ".weight"] = np.asarray(tree["kernel"]).T
+        sd[prefix_torch + ".bias"] = np.asarray(tree["bias"])
+
+    def emit_norm(prefix_torch, tree):
+        sd[prefix_torch + ".weight"] = np.asarray(tree["scale"])
+        sd[prefix_torch + ".bias"] = np.asarray(tree["bias"])
+
+    for enc_dec, mod in (("encoder", "enc_0"), ("decoder", "dec_0")):
+        base = f"detr.transformer.{enc_dec}.layers.0"
+        emit_dense(base + ".linear1", t[mod]["linear1"])
+        emit_dense(base + ".linear2", t[mod]["linear2"])
+        for nm in ("norm1", "norm2") + (("norm3",) if mod == "dec_0" else ()):
+            emit_norm(f"{base}.{nm}", t[mod][nm])
+    emit_norm("detr.transformer.decoder.norm", t["dec_norm"])
+    emit_dense("detr.class_embed", p["class_embed"])
+    for i in range(3):
+        emit_dense(f"detr.bbox_embed.layers.{i}", p["bbox_embed"][f"layer_{i}"])
+    sd["detr.query_embed.weight"] = np.asarray(p["query_embed"])
+    # input_proj: conv 1x1, torch layout [E, C, 1, 1]
+    sd["detr.input_proj.weight"] = np.transpose(
+        np.asarray(p["input_proj"]["kernel"]), (3, 2, 0, 1)
+    )
+    sd["detr.input_proj.bias"] = np.asarray(p["input_proj"]["bias"])
+
+    target = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    ported, report = port_detr_state_dict(sd, target, num_heads=H)
+    assert not report["unused"], report["unused"][:10]
+
+    def cmp(a_tree, b_tree, where):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(a_tree),
+            jax.tree_util.tree_leaves(b_tree),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, err_msg=where
+            )
+
+    pp = ported["params"]
+    cmp(p["transformer"], pp["transformer"], "transformer")
+    cmp(p["class_embed"], pp["class_embed"], "class_embed")
+    cmp(p["bbox_embed"], pp["bbox_embed"], "bbox_embed")
+    cmp(p["query_embed"], pp["query_embed"], "query_embed")
+    cmp(p["input_proj"], pp["input_proj"], "input_proj")

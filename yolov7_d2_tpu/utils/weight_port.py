@@ -230,6 +230,146 @@ def port_torch_state_dict(
     return new_vars, report
 
 
+def split_torch_mha(
+    in_proj_weight: np.ndarray,     # [3E, E]
+    in_proj_bias: np.ndarray,       # [3E]
+    out_weight: np.ndarray,         # [E, E]
+    out_bias: np.ndarray,           # [E]
+    num_heads: int,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """torch nn.MultiheadAttention (fused qkv) -> flax
+    MultiHeadDotProductAttention per-head param tree
+    ({query,key,value}: kernel [E, H, hd] / bias [H, hd];
+     out: kernel [H, hd, E] / bias [E])."""
+    e = in_proj_weight.shape[1]
+    hd = e // num_heads
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for i, name in enumerate(("query", "key", "value")):
+        w = in_proj_weight[i * e : (i + 1) * e]          # [E(out), E(in)]
+        b = in_proj_bias[i * e : (i + 1) * e]
+        out[name] = {
+            "kernel": w.T.reshape(e, num_heads, hd),
+            "bias": b.reshape(num_heads, hd),
+        }
+    out["out"] = {
+        "kernel": out_weight.T.reshape(num_heads, hd, e),
+        "bias": out_bias,
+    }
+    return out
+
+
+def map_detr_torch_name(name: str) -> Tuple[str, ...]:
+    """Reference DETR state-dict keys (meta_arch/detr.py tree after the
+    tools/convert_detr_to_d2 remap: ``detr.`` prefix) -> our flax paths.
+    Attention modules are handled by :func:`port_detr_state_dict` (fused
+    qkv split), this maps everything else."""
+    n = re.sub(r"^detr\.", "", name)
+    n = re.sub(r"^transformer\.encoder\.layers\.(\d+)\.", r"transformer/enc_\1/", n)
+    n = re.sub(r"^transformer\.decoder\.layers\.(\d+)\.", r"transformer/dec_\1/", n)
+    n = n.replace("transformer.decoder.norm", "transformer/dec_norm")
+    n = n.replace("transformer.encoder.norm", "transformer/enc_norm")
+    n = re.sub(r"^bbox_embed\.layers\.(\d+)$", r"bbox_embed/layer_\1", n)
+    n = n.replace("query_embed", "query_embed")
+    return tuple(n.replace(".", "/").split("/"))
+
+
+def port_detr_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    variables: Dict[str, Any],
+    num_heads: int = 8,
+    strict: bool = False,
+) -> Tuple[Dict[str, Any], Dict[str, list]]:
+    """Pour a reference DETR checkpoint into our DETR variables.
+
+    Handles fused-qkv attention splitting (self_attn + multihead_attn ->
+    our self_attn/cross_attn trees), the LayerNorm weight->scale rename,
+    and query_embed (torch nn.Embedding.weight -> our raw param)."""
+    import jax
+
+    # 1) group attention keys by module
+    attn_groups: Dict[str, Dict[str, np.ndarray]] = {}
+    passthrough: Dict[str, np.ndarray] = {}
+    for key, tensor in state_dict.items():
+        m = re.match(
+            r"^(.*)\.(self_attn|multihead_attn)\."
+            r"(in_proj_weight|in_proj_bias|out_proj\.weight|out_proj\.bias)$",
+            key,
+        )
+        if m:
+            mod = f"{m.group(1)}.{m.group(2)}"
+            attn_groups.setdefault(mod, {})[m.group(3)] = np.asarray(tensor)
+        else:
+            passthrough[key] = tensor
+
+    params = jax.tree.map(np.asarray, variables["params"])
+    ported, unused = [], []
+
+    def get_node(path):
+        node = params
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return None
+            node = node[p]
+        return node
+
+    for mod, tensors in attn_groups.items():
+        base = map_detr_torch_name(mod)
+        # our decoder names the cross attention 'cross_attn'
+        base = tuple(
+            "cross_attn" if p == "multihead_attn" else p for p in base
+        )
+        node = get_node(base)
+        if node is None or not all(
+            k in tensors for k in
+            ("in_proj_weight", "in_proj_bias", "out_proj.weight",
+             "out_proj.bias")
+        ):
+            unused.extend(f"{mod}.{k}" for k in tensors)
+            continue
+        split = split_torch_mha(
+            tensors["in_proj_weight"], tensors["in_proj_bias"],
+            tensors["out_proj.weight"], tensors["out_proj.bias"], num_heads,
+        )
+        for part, leaves in split.items():
+            for leaf, value in leaves.items():
+                node[part][leaf] = value.astype(node[part][leaf].dtype)
+        ported.extend(f"{mod}.{k}" for k in tensors)
+
+    # 2) everything else: LayerNorm weight->scale, Dense/Embedding layouts
+    def leaf_map(key):
+        module, _, leaf = key.rpartition(".")
+        path = map_detr_torch_name(module)
+        return path, leaf
+
+    rest = {}
+    for key, tensor in passthrough.items():
+        t = np.asarray(tensor)
+        module, _, leaf = key.rpartition(".")
+        path = map_detr_torch_name(module)
+        # query_embed is an nn.Embedding: its .weight is the raw table
+        if path and path[-1] == "query_embed" and leaf == "weight":
+            node = get_node(path[:-1]) if len(path) > 1 else params
+            if node is not None and "query_embed" in node:
+                node["query_embed"] = t.astype(node["query_embed"].dtype)
+                ported.append(key)
+                continue
+        # LayerNorm: torch weight (1-D) -> flax scale handled by the
+        # generic porter below
+        rest[key] = tensor
+
+    new_vars = {"params": params}
+    if "batch_stats" in variables:
+        new_vars["batch_stats"] = variables["batch_stats"]
+    new_vars, report = port_torch_state_dict(
+        rest, new_vars, name_mapper=map_detr_torch_name, strict=False
+    )
+    report["ported"] = ported + report["ported"]
+    report["unused"] = unused + report["unused"]
+    if strict and report["unused"]:
+        raise KeyError(f"unmatched torch keys: {report['unused'][:20]}")
+    return new_vars, report
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.pkl checkpoint to numpy (torch cpu or pickle)."""
     try:
