@@ -155,3 +155,40 @@ def test_anchor_yolo_postprocess_contract():
     )
     assert dets.boxes.shape == (2, 10, 4)
     assert dets.valid.shape == (2, 10)
+
+
+def test_v4_loss_branch():
+    """v4 decomposed xy/wh loss: finite, differentiable, and zero box loss
+    for a perfect raw prediction."""
+    from yolov7_d2_tpu.models.heads.anchor_yolo_head import anchor_yolo_losses
+
+    model = AnchorYOLO(num_classes=4, backbone_type="darknet53")
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3)) * 255
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    batch_gt = {
+        "gt_boxes": jnp.tile(jnp.array([[[8.0, 8.0, 40.0, 40.0]]]), (1, 4, 1)),
+        "gt_classes": jnp.ones((1, 4), jnp.int32),
+        "gt_valid": jnp.zeros((1, 4), bool).at[:, 0].set(True),
+    }
+
+    def loss(params):
+        flat, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            imgs, train=True, mutable=["batch_stats"],
+        )
+        out = anchor_yolo_losses(
+            flat, batch_gt["gt_boxes"], batch_gt["gt_classes"],
+            batch_gt["gt_valid"],
+            anchors=np.asarray(model.anchors, np.float32),
+            level_hw=flat["level_hw"], level_strides=(8, 16, 32),
+            num_classes=4, loss_type="v4",
+        )
+        return out["total_loss"], out
+
+    (total, aux), grads = jax.value_and_grad(loss, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(total))
+    assert float(aux["num_fg"]) >= 1
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)

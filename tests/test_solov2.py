@@ -107,3 +107,18 @@ def test_solov2_postprocess_contract():
                               max_per_img=10, nms_pre=32)
     assert dets.masks.shape[:2] == (1, 10)
     assert dets.boxes.shape == (1, 10, 4)
+
+
+def test_solov2_dcn_tower():
+    model = SOLOv2(
+        num_classes=3, num_grids=GRIDS, num_kernels=16,
+        instance_channels=32, mask_channels=16, resnet_depth=18,
+        use_dcn_in_instance=True,
+    )
+    imgs = jnp.zeros((1, S, S, 3))
+    v = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    # DCN modules present in the tower
+    names = str(jax.tree_util.tree_structure(v["params"]))
+    assert "cate_dcn_3" in names and "kernel_dcn_3" in names
+    out = model.apply(v, imgs, train=False)
+    assert np.all(np.isfinite(np.asarray(out["mask_feats"])))

@@ -162,12 +162,23 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
         if arch == "YOLOV5":
             btype = "yolov5"
 
+        lcfg = cfg.MODEL.YOLO.LOSS
+        lambdas = dict(
+            lambda_iou=lcfg.LAMBDA_IOU, lambda_conf=lcfg.LAMBDA_CONF,
+            lambda_cls=lcfg.LAMBDA_CLS, lambda_xy=lcfg.LAMBDA_XY,
+            lambda_wh=lcfg.LAMBDA_WH,
+        )
+        loss_type = "v4" if cfg.MODEL.YOLO.LOSS_TYPE == "v4" and arch == "YOLO" \
+            else "v7"
+
         def loss_fn(out, batch, use_l1_flag):
             return anchor_yolo_loss_fn(
                 out, batch, anchors, nc,
                 variant=variant, build_target_type=btype,
                 iou_type=cfg.MODEL.YOLO.IOU_TYPE,
+                loss_type=loss_type,
                 ignore_threshold=max(cfg.MODEL.YOLO.IGNORE_THRESHOLD, 0.5),
+                lambdas=lambdas,
             )
 
     elif arch == "YOLOV6":

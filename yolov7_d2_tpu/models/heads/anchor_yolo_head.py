@@ -250,12 +250,22 @@ def anchor_yolo_losses(
     variant: str = "yolov7",
     build_target_type: str = "default",
     iou_type: str = "ciou",
+    loss_type: str = "v7",
     ignore_threshold: float = 0.7,
     lambda_iou: float = 1.1,
     lambda_conf: float = 1.0,
     lambda_cls: float = 1.0,
+    lambda_xy: float = 1.0,
+    lambda_wh: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
-    """Batch loss for anchor heads (reference yolov7.py:546-604 ciou branch)."""
+    """Batch loss for anchor heads.
+
+    ``loss_type='v7'``: CIoU-family box regression (reference
+    yolov7.py:546-604). ``loss_type='v4'``: the classic v3/v4 decomposed
+    box loss — BCE on the xy cell offsets + MSE on the log-wh residuals
+    with LAMBDA_XY/LAMBDA_WH weights (reference yolo.py get_target:403 +
+    MODEL.YOLO.LOSS keys).
+    """
     boxes_cxcywh, obj_logits, cls_logits = decode_anchor_outputs(flat, variant)
     pred_xyxy = cxcywh_to_xyxy(boxes_cxcywh)  # [B, A, 4]
 
@@ -285,9 +295,36 @@ def anchor_yolo_losses(
     best_iou = jnp.max(pair, axis=-1)
     ignore = (best_iou > ignore_threshold) & ~fg
 
-    loss_box = jnp.sum(
-        iou_loss(pred_xyxy, tgt_boxes, loss_type=iou_type) * fg_f
-    ) / num_fg
+    if loss_type == "v4":
+        # decomposed box loss on the RAW head outputs
+        raw = flat["outputs"][..., 0:4]                      # [B, A, 4]
+        grids = flat["grids"]
+        strides = flat["strides"]
+        anchors_v = flat["anchors"]
+        tcx = (tgt_boxes[..., 0] + tgt_boxes[..., 2]) * 0.5
+        tcy = (tgt_boxes[..., 1] + tgt_boxes[..., 3]) * 0.5
+        tw = jnp.clip(tgt_boxes[..., 2] - tgt_boxes[..., 0], min=1e-3)
+        th = jnp.clip(tgt_boxes[..., 3] - tgt_boxes[..., 1], min=1e-3)
+        # xy target: fractional offset inside the assigned cell, in (0, 1)
+        tx = jnp.clip(tcx / strides - grids[:, 0], 0.0, 1.0)
+        ty = jnp.clip(tcy / strides - grids[:, 1], 0.0, 1.0)
+        loss_xy = jnp.sum(
+            (
+                sigmoid_binary_cross_entropy(raw[..., 0], tx)
+                + sigmoid_binary_cross_entropy(raw[..., 1], ty)
+            ) * fg_f
+        ) / num_fg
+        tw_t = jnp.log(tw / (anchors_v[:, 0] + 1e-9))
+        th_t = jnp.log(th / (anchors_v[:, 1] + 1e-9))
+        loss_wh = jnp.sum(
+            0.5 * ((raw[..., 2] - tw_t) ** 2 + (raw[..., 3] - th_t) ** 2)
+            * fg_f
+        ) / num_fg
+        loss_box = lambda_xy * loss_xy + lambda_wh * loss_wh
+    else:
+        loss_box = lambda_iou * jnp.sum(
+            iou_loss(pred_xyxy, tgt_boxes, loss_type=iou_type) * fg_f
+        ) / num_fg
 
     obj_bce = sigmoid_binary_cross_entropy(obj_logits, fg_f)
     obj_w = jnp.where(ignore, 0.0, 1.0)
@@ -299,7 +336,7 @@ def anchor_yolo_losses(
     ) / num_fg
 
     losses = {
-        "loss_box": lambda_iou * loss_box,
+        "loss_box": loss_box,
         "loss_obj": lambda_conf * loss_obj,
         "loss_cls": lambda_cls * loss_cls,
         "num_fg": num_fg,

@@ -35,6 +35,7 @@ class SOLOv2InsHead(nn.Module):
     num_kernels: int = 256
     channels: int = 512
     num_convs: int = 4
+    use_dcn: bool = False   # USE_DCN_IN_INSTANCE (last tower conv is a DCN)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -48,16 +49,26 @@ class SOLOv2InsHead(nn.Module):
         cate = x[..., :-2]  # category tower runs without coords (reference)
         kernel = x
         for i in range(self.num_convs):
-            cate = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                           dtype=self.dtype, param_dtype=jnp.float32,
-                           name=f"cate_conv_{i}")(cate)
+            last = i == self.num_convs - 1
+            if self.use_dcn and last:
+                from yolov7_d2_tpu.ops.deform_conv import DeformConv
+
+                cate = DeformConv(self.channels, dtype=self.dtype,
+                                  name=f"cate_dcn_{i}")(cate)
+                kernel = DeformConv(self.channels, dtype=self.dtype,
+                                    name=f"kernel_dcn_{i}")(kernel)
+            else:
+                cate = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name=f"cate_conv_{i}")(cate)
+                kernel = nn.Conv(self.channels, (3, 3),
+                                 padding=[(1, 1), (1, 1)],
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name=f"kernel_conv_{i}")(kernel)
             cate = nn.relu(
                 nn.GroupNorm(num_groups=min(32, self.channels), dtype=jnp.float32,
                              name=f"cate_gn_{i}")(cate)
             ).astype(self.dtype)
-            kernel = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                             dtype=self.dtype, param_dtype=jnp.float32,
-                             name=f"kernel_conv_{i}")(kernel)
             kernel = nn.relu(
                 nn.GroupNorm(num_groups=min(32, self.channels), dtype=jnp.float32,
                              name=f"kernel_gn_{i}")(kernel)
@@ -108,6 +119,7 @@ class SOLOv2(nn.Module):
     instance_channels: int = 512
     mask_channels: int = 128
     resnet_depth: int = 50
+    use_dcn_in_instance: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -127,7 +139,8 @@ class SOLOv2(nn.Module):
         )  # P2..P6
         ins_head = SOLOv2InsHead(
             num_classes=self.num_classes, num_kernels=self.num_kernels,
-            channels=self.instance_channels, dtype=self.dtype,
+            channels=self.instance_channels,
+            use_dcn=self.use_dcn_in_instance, dtype=self.dtype,
             name="ins_head",
         )
         cate_preds, kernel_preds = [], []
@@ -366,5 +379,6 @@ def build_solov2(cfg, dtype: Optional[Any] = None):
         instance_channels=s.INSTANCE_CHANNELS,
         mask_channels=s.MASK_CHANNELS,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        use_dcn_in_instance=s.USE_DCN_IN_INSTANCE,
         dtype=dtype,
     )

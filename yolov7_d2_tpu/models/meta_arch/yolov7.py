@@ -105,7 +105,9 @@ def anchor_yolo_loss_fn(
     variant: str = "yolov7",
     build_target_type: str = "default",
     iou_type: str = "ciou",
+    loss_type: str = "v7",
     ignore_threshold: float = 0.7,
+    lambdas: dict | None = None,
 ) -> Dict[str, jnp.ndarray]:
     return anchor_yolo_losses(
         flat,
@@ -117,7 +119,9 @@ def anchor_yolo_loss_fn(
         variant=variant,
         build_target_type=build_target_type,
         iou_type=iou_type,
+        loss_type=loss_type,
         ignore_threshold=ignore_threshold,
+        **(lambdas or {}),
     )
 
 
