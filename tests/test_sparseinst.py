@@ -130,3 +130,45 @@ def test_sparseinst_postprocess_contract():
     assert dets.masks.shape[:2] == (2, 8)
     assert dets.boxes.shape == (2, 8, 4)
     assert dets.scores.shape == (2, 8)
+
+
+def test_sparseinst_loss_decreases_on_overfit():
+    """25 repeated steps on one synthetic batch reduce the total loss."""
+    from yolov7_d2_tpu.config import get_cfg
+    from yolov7_d2_tpu.engine import build_system
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "SparseInst"
+    cfg.INPUT.INPUT_SIZE = [SIZE, SIZE]
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.NORM = "BN"
+    cfg.MODEL.SPARSE_INST.DECODER.NUM_CLASSES = 4
+    cfg.MODEL.SPARSE_INST.DECODER.NUM_MASKS = 8
+    cfg.MODEL.SPARSE_INST.DECODER.KERNEL_DIM = 16
+    cfg.MODEL.SPARSE_INST.ENCODER.NUM_CHANNELS = 32
+    cfg.MODEL.YOLO.MAX_BOXES_NUM = 4
+    cfg.SOLVER.OPTIMIZER = "adamw"
+    cfg.SOLVER.BASE_LR = 5e-4
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.LR_SCHEDULER_NAME = "WarmupCosineLR"
+    cfg.SOLVER.MAX_ITER = 100
+    cfg.SOLVER.AMP.ENABLED = False
+
+    model, state, train_step, fields = build_system(cfg, batch_size=2)
+    masks = np.zeros((2, 4, SIZE, SIZE), np.float32)
+    masks[:, 0, 10:40, 10:40] = 1.0
+    batch = {
+        "image": jnp.full((2, SIZE, SIZE, 3), 100.0),
+        "gt_masks": jnp.asarray(masks),
+        "gt_classes": jnp.ones((2, 4), jnp.int32),
+        "gt_valid": jnp.zeros((2, 4), bool).at[:, 0].set(True),
+    }
+    step = jax.jit(train_step)
+    first = None
+    for i in range(25):
+        state, metrics = step(state, batch)
+        if i == 0:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)

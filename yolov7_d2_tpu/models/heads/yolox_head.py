@@ -168,10 +168,17 @@ def simota_assign(
     )  # [A, C]
     joint = jnp.clip(joint, 1e-8, 1.0 - 1e-8)
     onehot = jax.nn.one_hot(gt_classes, num_classes)  # [G, C]
-    # BCE over probabilities: -t log p - (1-t) log(1-p), pairwise [G, A]
-    log_p = jnp.log(joint)          # [A, C]
-    log_1p = jnp.log1p(-joint)      # [A, C]
-    cls_cost = -(onehot @ log_p.T + (1.0 - onehot) @ log_1p.T)  # [G, A]
+    # BCE over probabilities: -t log p - (1-t) log(1-p), pairwise [G, A].
+    # The [G,C]x[C,A] contractions run in bf16 on the MXU with f32
+    # accumulation — assignment is rank-based, bf16 cost resolution is ample.
+    log_p = jnp.log(joint).astype(jnp.bfloat16)       # [A, C]
+    log_1p = jnp.log1p(-joint).astype(jnp.bfloat16)   # [A, C]
+    onehot_b = onehot.astype(jnp.bfloat16)
+    cls_cost = -(
+        jnp.dot(onehot_b, log_p.T, preferred_element_type=jnp.float32)
+        + jnp.dot(1.0 - onehot_b, log_1p.T,
+                  preferred_element_type=jnp.float32)
+    )  # [G, A] f32
 
     cost = (
         cls_cost
