@@ -138,3 +138,24 @@ def test_loss_decreases_on_overfit(mini_dataset, tmp_path):
     last = float(metrics["total_loss"])
     assert np.isfinite(first) and np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_multiscale_hook_advances_mapper(mini_dataset, tmp_path):
+    import jax
+
+    from yolov7_d2_tpu.data.multiscale import MultiScaleMapperWrapper
+    from yolov7_d2_tpu.train.trainer import MultiScaleHook
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SOLVER.MAX_ITER = 3
+    model, state, train_step, _ = build_yolox_system(cfg, batch_size=4)
+    base_mapper = SimpleDatasetMapper(cfg, is_train=True)
+    ms = MultiScaleMapperWrapper(base_mapper, [(64, 64)], interval=1)
+    loader = build_detection_train_loader(cfg, mini_dataset, ms)
+    mesh = build_mesh((4, 1), ("data", "model"), devices=jax.devices()[:4])
+    trainer = Trainer(
+        train_step, state, loader, max_iter=3, mesh=mesh,
+        hooks=[MultiScaleHook(ms)], output_dir=cfg.OUTPUT_DIR,
+    )
+    trainer.train()
+    assert ms.step == 3

@@ -111,6 +111,18 @@ class AugDisableHook(HookBase):
             )
 
 
+class MultiScaleHook(HookBase):
+    """Advance a MultiScaleMapperWrapper's step so the input-size schedule
+    follows training (data/multiscale.py; the reference's multi-size
+    broadcast, yolo.py:131-146, without the collective)."""
+
+    def __init__(self, ms_wrapper):
+        self.ms = ms_wrapper
+
+    def after_step(self, trainer):
+        self.ms.step = trainer.storage.iter
+
+
 class Trainer:
     """Generic loop: jitted sharded train_step over a host data iterator."""
 
