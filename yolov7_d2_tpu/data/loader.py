@@ -60,24 +60,49 @@ class DataLoader:
                 return
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Producer thread + a mapper thread pool (cv2 and large-array numpy
+        release the GIL, so mapping parallelizes across ``num_workers``
+        threads — the counterpart of d2's dataloader worker processes).
+        Batches preserve the index-stream order."""
+        from concurrent.futures import ThreadPoolExecutor
+
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def safe_map(idx):
+            try:
+                return self.mapper(self.records[idx])
+            except FileNotFoundError:
+                return None
+
         def producer():
             try:
-                batch: List[Dict[str, np.ndarray]] = []
-                for idx in self._index_stream():
-                    if stop.is_set():
-                        return
-                    try:
-                        batch.append(self.mapper(self.records[idx]))
-                    except FileNotFoundError:
-                        continue
-                    if len(batch) == self.batch_size:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    batch: List[Dict[str, np.ndarray]] = []
+                    # keep ~2 batches of map futures in flight
+                    window = max(self.batch_size * 2, self.num_workers * 2)
+                    pending = []
+                    stream = self._index_stream()
+                    exhausted = False
+                    while not stop.is_set():
+                        while not exhausted and len(pending) < window:
+                            try:
+                                idx = next(stream)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            pending.append(ex.submit(safe_map, idx))
+                        if not pending:
+                            break
+                        sample = pending.pop(0).result()
+                        if sample is None:
+                            continue
+                        batch.append(sample)
+                        if len(batch) == self.batch_size:
+                            out_q.put(stack_batch(batch))
+                            batch = []
+                    if batch and not self.drop_last and not stop.is_set():
                         out_q.put(stack_batch(batch))
-                        batch = []
-                if batch and not self.drop_last:
-                    out_q.put(stack_batch(batch))
             finally:
                 out_q.put(None)
 
