@@ -94,3 +94,40 @@ def test_masked_mean_ignores_invalid():
     np.testing.assert_allclose(float(masked_mean(v, m)), 1.5)
     # empty mask does not divide by zero
     assert np.isfinite(float(masked_mean(v, jnp.zeros(3, bool))))
+
+
+def test_quality_focal_loss_continuous_targets():
+    from yolov7_d2_tpu.ops.losses import quality_focal_loss
+
+    # perfect prediction of the quality score -> near-zero loss
+    t = jnp.array([0.7])
+    logit = jnp.log(t / (1 - t))
+    assert float(quality_focal_loss(logit, t)[0]) < 1e-3
+    # far prediction -> large loss
+    far = quality_focal_loss(jnp.array([-5.0]), t)
+    assert float(far[0]) > 1.0
+
+
+def test_distribution_focal_loss_and_expectation():
+    from yolov7_d2_tpu.ops.losses import (
+        dfl_expectation,
+        distribution_focal_loss,
+    )
+
+    n_bins = 8
+    # a sharply peaked distribution at the true position minimizes the loss
+    target = jnp.array([3.4])
+    peaked = jnp.full((1, n_bins), -10.0)
+    peaked = peaked.at[0, 3].set(10.0 * 0.6).at[0, 4].set(10.0 * 0.4)
+    uniform = jnp.zeros((1, n_bins))
+    assert float(distribution_focal_loss(peaked, target)[0]) < float(
+        distribution_focal_loss(uniform, target)[0]
+    )
+    # expectation decode recovers the position for an exact soft label
+    logits = jnp.log(jnp.array([[0, 0, 0, 0.6, 0.4, 0, 0, 0]]) + 1e-9)
+    np.testing.assert_allclose(float(dfl_expectation(logits)[0]), 3.4, atol=1e-3)
+    # gradient exists
+    g = jax.grad(
+        lambda l: jnp.sum(distribution_focal_loss(l, target))
+    )(uniform)
+    assert np.all(np.isfinite(np.asarray(g)))

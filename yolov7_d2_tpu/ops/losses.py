@@ -100,6 +100,56 @@ def smooth_l1_loss(
     return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
 
 
+def quality_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    beta: float = 2.0,
+) -> jnp.ndarray:
+    """Quality Focal Loss (GFL, Li et al. 2020), unreduced.
+
+    Like sigmoid focal loss but the target is a *continuous* quality score
+    in [0, 1] (e.g. the predicted box's IoU with its gt) instead of a
+    binary label; the modulating factor is |target - p|^beta.
+    """
+    p = jax.nn.sigmoid(logits)
+    ce = sigmoid_binary_cross_entropy(logits, targets)
+    return ce * jnp.abs(targets - p) ** beta
+
+
+def distribution_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+) -> jnp.ndarray:
+    """Distribution Focal Loss (GFL): regression as a discrete distribution.
+
+    ``logits`` [..., n_bins] predict a categorical distribution over integer
+    bin positions; ``targets`` [...] are continuous positions in
+    [0, n_bins-1]. The loss is CE against the two enclosing integer bins
+    weighted by proximity, which drives the distribution's expectation to
+    the target. Returns unreduced per-element losses.
+    """
+    n_bins = logits.shape[-1]
+    t = jnp.clip(targets, 0.0, n_bins - 1 - 1e-6)
+    left = jnp.floor(t).astype(jnp.int32)
+    right = left + 1
+    w_right = t - left
+    w_left = 1.0 - w_right
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    lp_left = jnp.take_along_axis(logp, left[..., None], axis=-1)[..., 0]
+    lp_right = jnp.take_along_axis(
+        logp, jnp.clip(right, 0, n_bins - 1)[..., None], axis=-1
+    )[..., 0]
+    return -(w_left * lp_left + w_right * lp_right)
+
+
+def dfl_expectation(logits: jnp.ndarray) -> jnp.ndarray:
+    """Decode a DFL distribution to its expected position."""
+    n_bins = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    bins = jnp.arange(n_bins, dtype=probs.dtype)
+    return jnp.sum(probs * bins, axis=-1)
+
+
 def masked_mean(
     values: jnp.ndarray, mask: jnp.ndarray, min_count: float = 1.0
 ) -> jnp.ndarray:
