@@ -168,8 +168,9 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
             lambda_cls=lcfg.LAMBDA_CLS, lambda_xy=lcfg.LAMBDA_XY,
             lambda_wh=lcfg.LAMBDA_WH,
         )
-        loss_type = "v4" if cfg.MODEL.YOLO.LOSS_TYPE == "v4" and arch == "YOLO" \
-            else "v7"
+        # the reference exposes LOSS_TYPE v4 on both the YOLO and YOLOV7
+        # archs (yolov7.py:546 branches on it)
+        loss_type = "v4" if cfg.MODEL.YOLO.LOSS_TYPE == "v4" else "v7"
 
         def loss_fn(out, batch, use_l1_flag):
             return anchor_yolo_loss_fn(
