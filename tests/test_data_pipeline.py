@@ -234,3 +234,32 @@ def test_multiscale_mapper_wrapper(mini_coco):
         shapes.add(ms(records[0])["image"].shape)
     assert shapes <= {(32, 32, 3), (64, 64, 3)}
     assert len(shapes) >= 1
+
+
+def test_mapper_keypoints(tmp_path):
+    img_dir = tmp_path / "kimgs"
+    img_dir.mkdir()
+    img = np.zeros((100, 200, 3), np.uint8)
+    cv2.imwrite(str(img_dir / "k.jpg"), img)
+    kpts = [0.0] * (17 * 3)
+    kpts[0:3] = [50.0, 40.0, 2.0]      # one visible keypoint at (50, 40)
+    record = {
+        "file_name": str(img_dir / "k.jpg"), "height": 100, "width": 200,
+        "image_id": 0,
+        "annotations": [{
+            "bbox": [20, 20, 60, 60], "bbox_mode": 5, "category_id": 0,
+            "iscrowd": 0, "area": 3600, "keypoints": kpts,
+        }],
+    }
+    cfg = get_cfg()
+    cfg.INPUT.INPUT_SIZE = [64, 64]
+    cfg.MODEL.YOLO.MAX_BOXES_NUM = 4
+    cfg.MODEL.KEYPOINT_ON = True
+    mapper = SimpleDatasetMapper(cfg, is_train=False)
+    s = mapper(record)
+    assert s["gt_keypoints"].shape == (4, 17, 3)
+    # scale = 64/200 = 0.32
+    np.testing.assert_allclose(
+        s["gt_keypoints"][0, 0], [50 * 0.32, 40 * 0.32, 2.0], rtol=1e-5
+    )
+    assert s["gt_keypoints"][1].sum() == 0  # padded instance slots are zero

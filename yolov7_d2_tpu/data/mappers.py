@@ -104,12 +104,15 @@ class SimpleDatasetMapper:
     def __init__(
         self, cfg, is_train: bool = True, seed: int = 0,
         with_masks: bool = False,
+        with_keypoints: bool = False,
     ):
         self.is_train = is_train
         self.input_size = tuple(cfg.INPUT.INPUT_SIZE)
         self.max_boxes = cfg.MODEL.YOLO.MAX_BOXES_NUM
         self.pad_value = int(cfg.MODEL.PADDED_VALUE)
         self.with_masks = with_masks
+        self.with_keypoints = with_keypoints or cfg.MODEL.KEYPOINT_ON
+        self.num_keypoints = cfg.MODEL.YOLO.KEYPOINTS_NUM
         self.flip_prob = (
             cfg.INPUT.RANDOM_FLIP_HORIZONTAL.PROB
             if cfg.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED and is_train
@@ -136,6 +139,29 @@ class SimpleDatasetMapper:
             masks.append(m)
         return masks
 
+    def _dense_keypoints(self, record: dict, flip: bool, scale: float):
+        """COCO keypoints [P*3] per annotation -> dense [G, P, 3] tracked
+        through flip + letterbox scale (visibility preserved)."""
+        p = self.num_keypoints
+        out = np.zeros((self.max_boxes, p, 3), np.float32)
+        w0 = record.get("width", 0)
+        i = 0
+        for ann in record.get("annotations", []):
+            if ann.get("iscrowd", 0) or i >= self.max_boxes:
+                continue
+            k = np.asarray(
+                ann.get("keypoints", [0.0] * (p * 3)), np.float32
+            ).reshape(-1, 3)[:p]
+            kk = np.zeros((p, 3), np.float32)
+            kk[: len(k)] = k
+            if flip:
+                vis = kk[:, 2] > 0
+                kk[vis, 0] = w0 - kk[vis, 0]
+            kk[:, :2] *= scale
+            out[i] = kk
+            i += 1
+        return out
+
     def __call__(self, record: dict) -> Dict[str, np.ndarray]:
         img = read_image_bgr(record["file_name"])
         boxes, classes = annotations_to_arrays(record)
@@ -159,6 +185,10 @@ class SimpleDatasetMapper:
                     : min(nh, th), : min(nw, tw)
                 ]
             sample["gt_masks"] = dense
+        if self.with_keypoints:
+            sample["gt_keypoints"] = self._dense_keypoints(
+                record, flip, scale
+            )
         sample["image"] = np.ascontiguousarray(img, np.float32)
         sample["image_id"] = np.asarray(record.get("image_id", 0), np.int64)
         sample["scale"] = np.asarray(scale, np.float32)
