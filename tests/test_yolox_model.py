@@ -185,3 +185,39 @@ def test_model_jit_compiles():
     fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
     out = fn(variables, imgs)
     assert np.all(np.isfinite(np.asarray(out["outputs"])))
+
+
+def test_simota_prefilter_matches_full():
+    """prefilter_topk result == full computation when K covers candidates."""
+    grids, strides = _grid_setup()
+    A, C, G = 16, 3, 5
+    rng = jax.random.PRNGKey(0)
+    pred = jnp.concatenate(
+        [(grids + 0.5) * 8.0 + jax.random.normal(rng, (A, 2)),
+         jnp.full((A, 2), 8.0) + jax.random.uniform(rng, (A, 2)) * 4],
+        axis=-1,
+    )
+    obj = jax.random.normal(jax.random.PRNGKey(1), (A,))
+    cls = jax.random.normal(jax.random.PRNGKey(2), (A, C))
+    gt_boxes = jnp.zeros((G, 4)).at[0].set(
+        jnp.array([0.0, 0.0, 8.0, 8.0])
+    ).at[1].set(jnp.array([12.0, 12.0, 30.0, 30.0]))
+    gt_classes = jnp.zeros((G,), jnp.int32).at[1].set(2)
+    gt_valid = jnp.zeros((G,), bool).at[0].set(True).at[1].set(True)
+
+    full = simota_assign(pred, obj, cls, grids, strides,
+                         gt_boxes, gt_classes, gt_valid)
+    pre = simota_assign(pred, obj, cls, grids, strides,
+                        gt_boxes, gt_classes, gt_valid, prefilter_topk=12)
+    np.testing.assert_array_equal(
+        np.asarray(full["fg_mask"]), np.asarray(pre["fg_mask"])
+    )
+    fg = np.asarray(full["fg_mask"])
+    np.testing.assert_array_equal(
+        np.asarray(full["matched_gt"])[fg], np.asarray(pre["matched_gt"])[fg]
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["matched_iou"]), np.asarray(pre["matched_iou"]),
+        rtol=1e-6,
+    )
+    assert float(full["num_fg"]) == float(pre["num_fg"])

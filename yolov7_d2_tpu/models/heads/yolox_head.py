@@ -15,7 +15,7 @@ over the batch — no host sync, no dynamic shapes, jit/grad-safe.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,18 +145,64 @@ def simota_assign(
     gt_classes: jnp.ndarray,         # [G] int32
     gt_valid: jnp.ndarray,           # [G] bool
     topk_candidates: int = 10,
+    prefilter_topk: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Vectorized SimOTA for ONE image. All shapes static.
+
+    ``prefilter_topk``: run the cost pipeline on only the top-K anchors by
+    (candidate-flag, objectness) — the static analogue of the reference's
+    fg_mask pre-filter (get_assignments:451 operates on candidates only).
+    Exact whenever the true candidate count <= K; anchors outside the
+    geometric prior can never match anyway.
 
     Returns fg_mask [A], matched_gt [A] (index into G), matched_iou [A],
     and num_fg (scalar).
     """
-    num_classes = cls_logits.shape[-1]
+    a_total = grids.shape[0]
     in_box, in_center = _geometry_prior(grids, strides, gt_boxes_xyxy)
     candidate = (in_box | in_center) & gt_valid[:, None]  # [G, A]
     both = in_box & in_center
-
     pred_xyxy = cxcywh_to_xyxy(pred_boxes_cxcywh)
+
+    if prefilter_topk is not None and prefilter_topk < a_total:
+        k = prefilter_topk
+        cand_any = jnp.any(candidate, axis=0)
+        sel = cand_any.astype(jnp.float32) * 1e9 + obj_logits
+        top_idx = jax.lax.top_k(sel, k)[1]                 # [K]
+        sub = _simota_core(
+            pred_xyxy[top_idx], obj_logits[top_idx], cls_logits[top_idx],
+            candidate[:, top_idx], both[:, top_idx],
+            gt_boxes_xyxy, gt_classes, gt_valid, topk_candidates,
+        )
+        fg = jnp.zeros((a_total,), bool).at[top_idx].set(sub["fg_mask"])
+        matched = jnp.zeros((a_total,), jnp.int32).at[top_idx].set(
+            sub["matched_gt"]
+        )
+        iou = jnp.zeros((a_total,)).at[top_idx].set(sub["matched_iou"])
+        return {
+            "fg_mask": fg,
+            "matched_gt": matched,
+            "matched_iou": iou,
+            "num_fg": sub["num_fg"],
+        }
+    return _simota_core(
+        pred_xyxy, obj_logits, cls_logits, candidate, both,
+        gt_boxes_xyxy, gt_classes, gt_valid, topk_candidates,
+    )
+
+
+def _simota_core(
+    pred_xyxy: jnp.ndarray,          # [A, 4]
+    obj_logits: jnp.ndarray,         # [A]
+    cls_logits: jnp.ndarray,         # [A, C]
+    candidate: jnp.ndarray,          # [G, A]
+    both: jnp.ndarray,               # [G, A]
+    gt_boxes_xyxy: jnp.ndarray,      # [G, 4]
+    gt_classes: jnp.ndarray,         # [G]
+    gt_valid: jnp.ndarray,           # [G]
+    topk_candidates: int,
+) -> Dict[str, jnp.ndarray]:
+    num_classes = cls_logits.shape[-1]
     pair_iou = pairwise_box_iou(gt_boxes_xyxy, pred_xyxy)  # [G, A]
     pair_iou = jnp.where(gt_valid[:, None], pair_iou, 0.0)
     iou_cost = -jnp.log(pair_iou + 1e-8)
@@ -250,6 +296,7 @@ def yolox_losses(
     gt_valid: jnp.ndarray,        # [B, G]
     num_classes: int,
     use_l1: bool = False,
+    prefilter_topk: Optional[int] = 2048,
 ) -> Dict[str, jnp.ndarray]:
     """Batch loss (reference get_losses:274; weights :431-432).
 
@@ -268,6 +315,7 @@ def yolox_losses(
             jax.lax.stop_gradient(o),
             jax.lax.stop_gradient(c),
             grids, strides, gb, gc, gv,
+            prefilter_topk=prefilter_topk,
         )
     )(boxes_cxcywh, obj_logits, cls_logits, gt_boxes_xyxy, gt_classes, gt_valid)
 
