@@ -192,3 +192,60 @@ def test_v4_loss_branch():
     assert float(aux["num_fg"]) >= 1
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+
+
+def test_max_iou_targets_match_oracle():
+    """Differential: vectorized v3 max-IoU target builder vs a literal
+    NumPy loop (reference yolo.py get_target:403 semantics)."""
+    rng = np.random.default_rng(11)
+    G = 6
+    gt_boxes = np.zeros((G, 4), np.float32)
+    gt_valid = np.zeros(G, bool)
+    for g in range(4):
+        x, y = rng.uniform(0, 40, 2)
+        w, h = rng.uniform(8, 120, 2)
+        gt_boxes[g] = [x, y, min(x + w, 64), min(y + h, 64)]
+        gt_valid[g] = True
+    gt_classes = rng.integers(0, 3, G).astype(np.int32)
+
+    t = build_targets_max_iou(
+        jnp.asarray(gt_boxes), jnp.asarray(gt_classes), jnp.asarray(gt_valid),
+        ANCHORS, LEVEL_HW, STRIDES,
+    )
+
+    # oracle
+    offsets, A = [], 0
+    for h, w in LEVEL_HW:
+        offsets.append(A)
+        A += h * w * 3
+    fg_o = np.zeros(A, bool)
+    matched_o = np.zeros(A, np.int64)
+    flat_anchors = ANCHORS.reshape(-1, 2)
+    for g in range(G):
+        if not gt_valid[g]:
+            continue
+        gw = gt_boxes[g, 2] - gt_boxes[g, 0]
+        gh = gt_boxes[g, 3] - gt_boxes[g, 1]
+        best, best_iou = -1, -1.0
+        for ai, (aw, ah) in enumerate(flat_anchors):
+            inter = min(gw, aw) * min(gh, ah)
+            union = gw * gh + aw * ah - inter
+            v = inter / (union + 1e-9)
+            if v > best_iou:
+                best_iou, best = v, ai
+        lvl, k = best // 3, best % 3
+        stride = STRIDES[lvl]
+        h_l, w_l = LEVEL_HW[lvl]
+        cx = int(np.clip((gt_boxes[g, 0] + gt_boxes[g, 2]) / 2 / stride, 0,
+                         w_l - 1))
+        cy = int(np.clip((gt_boxes[g, 1] + gt_boxes[g, 3]) / 2 / stride, 0,
+                         h_l - 1))
+        idx = offsets[lvl] + (cy * w_l + cx) * 3 + k
+        fg_o[idx] = True
+        matched_o[idx] = g
+
+    fg_v = np.asarray(t["fg_mask"])
+    np.testing.assert_array_equal(fg_v, fg_o)
+    np.testing.assert_array_equal(
+        np.asarray(t["matched_gt"])[fg_v], matched_o[fg_o]
+    )
