@@ -43,6 +43,23 @@ def _letterbox_fast(img, boxes, size, pad_value):
     return A.letterbox(img, boxes, size, pad_value)
 
 
+# COCO 17-keypoint left<->right permutation applied under horizontal flip
+# (nose, l/r eye, l/r ear, l/r shoulder, elbow, wrist, hip, knee, ankle) —
+# the counterpart of detectron2's create_keypoint_hflip_indices used by the
+# reference via configs/common/data/coco_keypoint.py.
+COCO_KP_HFLIP_17 = np.asarray(
+    [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15], np.int64
+)
+
+
+def keypoint_hflip_indices(num_keypoints: int) -> np.ndarray:
+    """Flip-index permutation: the COCO-17 map when applicable, identity
+    otherwise (callers with custom skeletons supply their own)."""
+    if num_keypoints == 17:
+        return COCO_KP_HFLIP_17
+    return np.arange(num_keypoints, dtype=np.int64)
+
+
 def read_image_bgr(path: str) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
@@ -155,6 +172,9 @@ class SimpleDatasetMapper:
             kk = np.zeros((p, 3), np.float32)
             kk[: len(k)] = k
             if flip:
+                # mirror x AND swap left/right keypoint identities — mirroring
+                # alone makes ~half the pose labels chirally wrong
+                kk = kk[keypoint_hflip_indices(p)]
                 vis = kk[:, 2] > 0
                 kk[vis, 0] = w0 - kk[vis, 0]
             kk[:, :2] *= scale

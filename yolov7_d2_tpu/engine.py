@@ -90,6 +90,7 @@ def build_yolox_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2
         ema_decay=cfg.SOLVER.EMA.DECAY if cfg.SOLVER.EMA.ENABLED else 0.0,
         use_l1_after=use_l1_after,
         remat=cfg.TPU.REMAT,
+        seed=max(cfg.SEED, 0),
     )
 
     def postprocess(head_out):
@@ -283,5 +284,6 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
         model, loss_fn, tx,
         ema_decay=cfg.SOLVER.EMA.DECAY if cfg.SOLVER.EMA.ENABLED else 0.0,
         remat=cfg.TPU.REMAT,
+        seed=max(cfg.SEED, 0),
     )
     return model, state, train_step, fields

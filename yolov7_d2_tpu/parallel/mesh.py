@@ -28,7 +28,24 @@ def build_mesh(
     shape = list(mesh_shape)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
+        if known <= 0 or len(devices) % known or len(devices) < known:
+            raise ValueError(
+                f"build_mesh: cannot infer -1 in mesh_shape {tuple(mesh_shape)} "
+                f"from {len(devices)} device(s); need a positive multiple of "
+                f"{known}. (If you expected virtual CPU devices, "
+                "JAX_PLATFORMS=cpu and --xla_force_host_platform_device_count "
+                "must be set BEFORE jax initializes its backend.)"
+            )
         shape[shape.index(-1)] = len(devices) // known
+    need = int(np.prod(shape))
+    if len(devices) != need:
+        raise ValueError(
+            f"build_mesh: mesh shape {tuple(shape)} needs {need} devices but "
+            f"got {len(devices)} ({[d.platform for d in devices[:4]]}...). "
+            "Set JAX_PLATFORMS=cpu + "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> before the "
+            "first jax call, or pass a matching `devices` list."
+        )
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, tuple(axis_names))
 
@@ -48,11 +65,37 @@ def shard_batch_pytree(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def state_shardings(state, mesh: Mesh):
-    """Replicate all train-state leaves (DP). Model-axis param sharding is a
-    per-arch opt-in (wide head convs), added where profiling justifies it."""
+def state_shardings(state, mesh: Mesh, tp_min_features: int = 0):
+    """Shardings for a train-state pytree.
+
+    Default (``tp_min_features=0``): replicate every leaf (pure DP — the
+    reference's only parallelism, SURVEY.md §2.11).
+
+    With ``tp_min_features > 0`` and a ``model`` axis of size > 1: kernels
+    (ndim >= 2) whose trailing output-feature dim is >= the threshold and
+    divisible by the axis size are sharded over ``model`` (tensor
+    parallelism on the widest convs/denses; GSPMD inserts the collectives).
+    Optimizer moments and EMA mirror param shapes, so the same rule shards
+    them consistently.
+    """
+    tp = dict(mesh.shape).get("model", 1)
     rep = replicated(mesh)
-    return jax.tree.map(lambda _: rep, state)
+
+    def leaf(x):
+        shp = getattr(x, "shape", None)
+        if (
+            tp > 1
+            and tp_min_features > 0
+            and shp is not None
+            and len(shp) >= 2
+            and shp[-1] >= tp_min_features
+            and shp[-1] % tp == 0
+        ):
+            spec = [None] * (len(shp) - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return rep
+
+    return jax.tree.map(leaf, state)
 
 
 def local_process_batch_slice(global_batch_size: int) -> slice:

@@ -51,11 +51,14 @@ def sgd_with_groups(lr_schedule, cfg):
 
     def tx(params):
         decay_mask = make_mask(params, lambda p: not is_norm_or_bias(p))
-        chain = [
-            optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV),
-        ]
+        chain = []
+        # torch.optim.SGD couples decay INTO the momentum buffer
+        # (grad += wd*param before momentum) — decay precedes trace.
         if wd:
             chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
+        chain.append(
+            optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV)
+        )
         chain.append(optax.scale_by_schedule(lambda s: -lr_schedule(s)))
         return optax.chain(*chain)
 
@@ -105,16 +108,14 @@ def build_optimizer(cfg, params, lr_schedule=None):
                 optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
             )
 
+    transforms.append(base_tx)
+
+    # Backbone LR multiplier must scale the UPDATE (a per-group lr, as the
+    # reference does via param groups) — applied after the preconditioner and
+    # lr step, since adam normalizes any gradient-side scaling to a no-op.
     mult = cfg.SOLVER.BACKBONE_MULTIPLIER
     if mult != 1.0:
         backbone_mask = make_mask(params, lambda p: p.startswith("backbone"))
-        other_mask = make_mask(params, lambda p: not p.startswith("backbone"))
-        transforms.append(
-            optax.chain(
-                optax.masked(optax.scale(mult), backbone_mask),
-                optax.masked(optax.identity(), other_mask),
-            )
-        )
+        transforms.append(optax.masked(optax.scale(mult), backbone_mask))
 
-    transforms.append(base_tx)
     return optax.chain(*transforms)

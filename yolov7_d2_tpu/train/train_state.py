@@ -63,6 +63,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     use_l1_after: Optional[int] = None,
     remat: bool = False,
+    seed: int = 0,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -79,8 +80,10 @@ def make_train_step(
             state.step >= use_l1_after if use_l1_after is not None else False
         )
 
-        # per-step rngs for stochastic layers (dropout, droppath)
-        step_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        # per-step rngs for stochastic layers: base key from the configured
+        # seed, folded with step, split into independent streams
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        dropout_rng, droppath_rng = jax.random.split(step_rng)
 
         def forward(params, images):
             return model.apply(
@@ -88,7 +91,7 @@ def make_train_step(
                 images,
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": step_rng, "droppath": step_rng},
+                rngs={"dropout": dropout_rng, "droppath": droppath_rng},
             )
 
         if remat:
