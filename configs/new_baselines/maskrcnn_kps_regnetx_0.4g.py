@@ -1,0 +1,14 @@
+"""Reference configs/new_baselines/maskrcnn_kps_regnetx_0.4g.py."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common.models.mask_rcnn_fpn_kps import model  # noqa: E402
+
+train = dict(
+    max_iter=270000,
+    output_dir="./output/maskrcnn_kps_regnetx_0.4g",
+    ims_per_batch=64,
+)
+optimizer = dict(name="sgd", base_lr=0.02, momentum=0.9, weight_decay=1e-4)

@@ -72,10 +72,13 @@ def install_stubs() -> None:
     def _unavailable(*a, **k):  # pragma: no cover
         raise RuntimeError("torchvision stub: not available in parity tests")
 
+    def _box_area(boxes):  # real (trivial) implementation — parity tests
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
     for m in (ops, opsb):
         m.nms = _unavailable
         m.batched_nms = _unavailable
-        m.box_area = _unavailable
+        m.box_area = _box_area
         m.box_iou = _unavailable
     tv.ops = ops
     models = _stub("torchvision.models")

@@ -28,7 +28,15 @@ def build_eval_fn(cfg, eval_records, model):
     from yolov7_d2_tpu.evaluation.coco_eval import COCOEvaluator
     from yolov7_d2_tpu.models.meta_arch.yolox import yolox_postprocess
 
+    from yolov7_d2_tpu.data.mappers import annotations_to_arrays
+
     mapper = SimpleDatasetMapper(cfg, is_train=False)
+    # GT straight from the original annotations — round-tripping GT through
+    # the letterboxed coordinates clips boxes at letterbox edges and skews AP
+    gt_by_id = {
+        int(r.get("image_id", i)): annotations_to_arrays(r)
+        for i, r in enumerate(eval_records)
+    }
 
     def eval_fn(trainer):
         evaluator = COCOEvaluator(cfg.MODEL.YOLO.CLASSES)
@@ -63,12 +71,9 @@ def build_eval_fn(cfg, eval_records, model):
                     dets.scores[i][valid],
                     dets.classes[i][valid],
                 )
-                gt_valid = batch["gt_valid"][i]
-                evaluator.add_gt(
-                    int(batch["image_id"][i]),
-                    batch["gt_boxes"][i][gt_valid] / scale,
-                    batch["gt_classes"][i][gt_valid],
-                )
+                img_id = int(batch["image_id"][i])
+                gt_boxes, gt_classes = gt_by_id[img_id]
+                evaluator.add_gt(img_id, gt_boxes, gt_classes)
         results = evaluator.evaluate()
         logger.info(f"COCO eval: {results}")
         return {k: v for k, v in results.items() if np.isfinite(v)}

@@ -20,7 +20,7 @@ def main(args) -> None:
 
     from yolov7_d2_tpu.data.catalog import DatasetCatalog
     from yolov7_d2_tpu.data.loader import build_detection_train_loader
-    from yolov7_d2_tpu.data.mappers import SimpleDatasetMapper
+    from yolov7_d2_tpu.data.mappers import DarknetMosaicDatasetMapper
     from yolov7_d2_tpu.models.build import build_model
     from yolov7_d2_tpu.models.meta_arch.sparseinst import sparseinst_losses
     from yolov7_d2_tpu.parallel.mesh import build_mesh
@@ -69,7 +69,10 @@ def main(args) -> None:
         )
 
     train_step = make_train_step(model, loss_fn, tx)
-    mapper = SimpleDatasetMapper(cfg, is_train=True, with_masks=True)
+    # the reference inseg path trains through mapper1's blend mosaic
+    # (ref train_inseg.py + dataset_mapper.py:24); falls back to the plain
+    # path when INPUT.MOSAIC.ENABLED is off
+    mapper = DarknetMosaicDatasetMapper(cfg, is_train=True, with_masks=True)
     loader = build_detection_train_loader(cfg, records, mapper)
     ckpt = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "ckpt"))
     state, start_iter = ckpt.resume_or_load(state, resume=args.resume)

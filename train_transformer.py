@@ -21,7 +21,10 @@ def main(args) -> None:
 
     from yolov7_d2_tpu.data.catalog import DatasetCatalog
     from yolov7_d2_tpu.data.loader import build_detection_train_loader
-    from yolov7_d2_tpu.data.mappers import SimpleDatasetMapper
+    from yolov7_d2_tpu.data.mappers import (
+        DetrDatasetMapper,
+        SimpleDatasetMapper,
+    )
     from yolov7_d2_tpu.models.build import build_model
     from yolov7_d2_tpu.models.meta_arch.detr import detr_losses
     from yolov7_d2_tpu.parallel.mesh import build_mesh
@@ -71,7 +74,12 @@ def main(args) -> None:
         )
 
     train_step = make_train_step(model, loss_fn, tx)
-    mapper = SimpleDatasetMapper(cfg, is_train=True)
+    # DETR-family archs use the DETR mapper with its 50% crop branch
+    # (ref train_transformer.py:50 selects DetrDatasetMapper by arch name)
+    if "detr" in cfg.MODEL.META_ARCHITECTURE.lower():
+        mapper = DetrDatasetMapper(cfg, is_train=True)
+    else:
+        mapper = SimpleDatasetMapper(cfg, is_train=True)
     loader = build_detection_train_loader(cfg, records, mapper)
     ckpt = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "ckpt"))
     state, start_iter = ckpt.resume_or_load(state, resume=args.resume)

@@ -11,6 +11,7 @@ This is a clean-room implementation on plain dicts + PyYAML.
 
 from __future__ import annotations
 
+import ast
 import copy
 import os
 from typing import Any, Dict, List
@@ -118,27 +119,44 @@ def _is_plain_dict(v: Any) -> bool:
 
 
 def _coerce(value: Any, old: Any) -> Any:
-    """Coerce a CLI-string override to the type of the existing value."""
-    if not isinstance(value, str):
-        return value
-    if isinstance(old, bool):
-        if value.lower() in ("true", "1", "yes"):
-            return True
-        if value.lower() in ("false", "0", "no"):
-            return False
-        raise ValueError(f"Cannot coerce '{value}' to bool")
-    if isinstance(old, int) and not isinstance(old, bool):
+    """Coerce a CLI-string override to the type of the existing value.
+
+    Python literals are evaluated first (yacs semantics), so tuple/list
+    syntax like ``DATASETS.TRAIN '("mini",)'`` works from the CLI."""
+    if isinstance(value, str):
         try:
-            return int(value)
-        except ValueError:
-            return float(value)  # allow widening int defaults to float
-    if isinstance(old, float):
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+    if isinstance(value, str):
+        if isinstance(old, bool):
+            if value.lower() in ("true", "1", "yes"):
+                return True
+            if value.lower() in ("false", "0", "no"):
+                return False
+            raise ValueError(f"Cannot coerce '{value}' to bool")
+        if isinstance(old, int) and not isinstance(old, bool):
+            try:
+                return int(value)
+            except ValueError:
+                return float(value)  # allow widening int defaults to float
+        if isinstance(old, float):
+            return float(value)
+        if isinstance(old, (list, tuple)):
+            parsed = yaml.safe_load(value)
+            return type(old)(parsed) if isinstance(parsed, (list, tuple)) else parsed
+        if old is None:
+            return yaml.safe_load(value)
+        return value
+    # literal-evaluated (or already-typed) value: reconcile container/num types
+    if isinstance(old, bool) and isinstance(value, int):
+        return bool(value)
+    if isinstance(old, float) and isinstance(value, int):
         return float(value)
-    if isinstance(old, (list, tuple)):
-        parsed = yaml.safe_load(value)
-        return type(old)(parsed) if isinstance(parsed, (list, tuple)) else parsed
-    if old is None:
-        return yaml.safe_load(value)
+    if isinstance(old, tuple) and isinstance(value, list):
+        return tuple(value)
+    if isinstance(old, list) and isinstance(value, tuple):
+        return list(value)
     return value
 
 

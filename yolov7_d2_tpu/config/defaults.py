@@ -61,6 +61,21 @@ def get_cfg() -> CfgNode:
     _C.MODEL.FPN.NORM = ""
     _C.MODEL.FPN.FUSE_TYPE = "sum"
 
+    # GeneralizedRCNN family (the d2-substrate models of the LazyConfig
+    # zoo: mask_rcnn_fpn.py / new_baselines — rebuilt natively)
+    _C.MODEL.RPN = CfgNode()
+    _C.MODEL.RPN.PRE_NMS_TOPK = 256     # per level, static
+    _C.MODEL.RPN.POST_NMS_TOPK = 128    # fixed proposal count
+    _C.MODEL.RPN.NMS_THRESH = 0.7
+    _C.MODEL.ROI_HEADS = CfgNode()
+    _C.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    _C.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    _C.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    _C.MODEL.SEM_SEG_HEAD = CfgNode()
+    _C.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 54
+    _C.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
+    _C.MODEL.SEM_SEG_HEAD.CONVS_DIM = 128
+
     _C.MODEL.BIFPN = CfgNode()
     _C.MODEL.BIFPN.NUM_LEVELS = 5
     _C.MODEL.BIFPN.NUM_BIFPN = 6

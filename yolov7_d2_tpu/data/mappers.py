@@ -112,7 +112,13 @@ def densify(
 
 
 class SimpleDatasetMapper:
-    """Resize + flip + letterbox; used for eval and plain training.
+    """Config-driven augmentation chain + letterbox to the static input size.
+
+    The chain is built by ``build_augmentation(cfg, is_train)``
+    (data/detection_utils.py) — the counterpart of the reference's
+    ``build_augmentation`` (ref detection_utils.py:18-155): every
+    ``INPUT.*`` toggle (flips, color jitter, distortion, GridMask,
+    jitter-crop, forced resize, shift) changes the emitted sample.
 
     ``with_masks=True`` additionally rasterizes polygon segmentations into
     dense ``[max_boxes, H, W]`` binary masks tracked through the same
@@ -123,6 +129,8 @@ class SimpleDatasetMapper:
         with_masks: bool = False,
         with_keypoints: bool = False,
     ):
+        from yolov7_d2_tpu.data.detection_utils import build_augmentation
+
         self.is_train = is_train
         self.input_size = tuple(cfg.INPUT.INPUT_SIZE)
         self.max_boxes = cfg.MODEL.YOLO.MAX_BOXES_NUM
@@ -135,9 +143,12 @@ class SimpleDatasetMapper:
             if cfg.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED and is_train
             else 0.0
         )
+        self.augmentations = build_augmentation(cfg, is_train)
         self.rng = np.random.default_rng(seed)
 
-    def _rasterize_masks(self, record: dict, flip: bool):
+    def _rasterize_masks_raw(self, record: dict):
+        """Per-instance [H0, W0] uint8 masks aligned with the non-crowd
+        annotation order (same filter as annotations_to_arrays)."""
         from yolov7_d2_tpu.evaluation.coco_eval import polygons_to_mask
 
         h0 = record.get("height")
@@ -151,72 +162,123 @@ class SimpleDatasetMapper:
                 m = polygons_to_mask(seg, h0, w0).astype(np.uint8)
             else:
                 m = np.zeros((h0, w0), np.uint8)
-            if flip:
-                m = m[:, ::-1]
             masks.append(m)
         return masks
 
-    def _dense_keypoints(self, record: dict, flip: bool, scale: float):
-        """COCO keypoints [P*3] per annotation -> dense [G, P, 3] tracked
-        through flip + letterbox scale (visibility preserved)."""
+    def _extract_keypoints(self, record: dict) -> np.ndarray:
+        """[N, P, 3] keypoints aligned with the non-crowd annotation order."""
         p = self.num_keypoints
-        out = np.zeros((self.max_boxes, p, 3), np.float32)
-        w0 = record.get("width", 0)
-        i = 0
+        rows = []
         for ann in record.get("annotations", []):
-            if ann.get("iscrowd", 0) or i >= self.max_boxes:
+            if ann.get("iscrowd", 0):
                 continue
             k = np.asarray(
                 ann.get("keypoints", [0.0] * (p * 3)), np.float32
             ).reshape(-1, 3)[:p]
             kk = np.zeros((p, 3), np.float32)
             kk[: len(k)] = k
-            if flip:
-                # mirror x AND swap left/right keypoint identities — mirroring
-                # alone makes ~half the pose labels chirally wrong
-                kk = kk[keypoint_hflip_indices(p)]
-                vis = kk[:, 2] > 0
-                kk[vis, 0] = w0 - kk[vis, 0]
-            kk[:, :2] *= scale
-            out[i] = kk
-            i += 1
-        return out
+            rows.append(kk)
+        if rows:
+            return np.stack(rows)
+        return np.zeros((0, p, 3), np.float32)
 
-    def __call__(self, record: dict) -> Dict[str, np.ndarray]:
-        img = read_image_bgr(record["file_name"])
-        boxes, classes = annotations_to_arrays(record)
-        flip = self.is_train and self.rng.random() < self.flip_prob
-        if flip:
-            img, boxes = A.hflip(img, boxes)
-        img, boxes, scale = _letterbox_fast(
+    def _apply_augmentations(self, img, boxes, classes, masks, kpts):
+        """Run the cfg chain; returns transformed tensors plus the cumulative
+        uniform resize scale (for eval coordinate bookkeeping)."""
+        from yolov7_d2_tpu.data.transforms.api import ResizeTransform
+
+        pre_scale = 1.0
+        for aug in self.augmentations:
+            t = aug.get_transform(img, self.rng)
+            img = t.apply_image(img)
+            if len(boxes):
+                boxes = t.apply_box(boxes)
+            if masks is not None:
+                masks = [t.apply_segmentation(m) for m in masks]
+            if kpts is not None and len(kpts):
+                flat = kpts[..., :2].reshape(-1, 2).astype(np.float32)
+                kpts = kpts.copy()
+                kpts[..., :2] = t.apply_coords(flat).reshape(
+                    kpts.shape[0], -1, 2
+                )
+                if t.is_hflip:
+                    # mirror x AND swap left/right keypoint identities —
+                    # mirroring alone is chirally wrong for ~half the samples
+                    kpts = kpts[:, keypoint_hflip_indices(self.num_keypoints)]
+            if isinstance(t, ResizeTransform):
+                pre_scale *= t.scale
+
+        # clip boxes to the augmented image; drop degenerate instances
+        h, w = img.shape[:2]
+        if len(boxes):
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            keep = (boxes[:, 2] - boxes[:, 0] > 1) & (
+                boxes[:, 3] - boxes[:, 1] > 1
+            )
+            boxes, classes = boxes[keep], classes[keep]
+            if masks is not None:
+                masks = [m for m, k in zip(masks, keep) if k]
+            if kpts is not None and len(kpts):
+                kpts = kpts[keep]
+        if kpts is not None and len(kpts):
+            # keypoints pushed out of frame by crops/shifts become invisible
+            kpts = kpts.copy()
+            oob = (
+                (kpts[..., 0] < 0) | (kpts[..., 0] >= w)
+                | (kpts[..., 1] < 0) | (kpts[..., 1] >= h)
+            )
+            kpts[..., 2] = np.where(oob, 0.0, kpts[..., 2])
+        return img, boxes, classes, masks, kpts, pre_scale
+
+    def _finalize(
+        self, record, img, boxes, classes, masks, kpts, pre_scale
+    ) -> Dict[str, np.ndarray]:
+        """Letterbox to the static shape and densify to [max_boxes]."""
+        img, boxes, r = _letterbox_fast(
             img, boxes, self.input_size, self.pad_value
         )
         sample = densify(boxes, classes, self.max_boxes)
-        if self.with_masks:
-            th, tw = self.input_size
+        th, tw = self.input_size
+        if masks is not None:
             dense = np.zeros((self.max_boxes, th, tw), np.uint8)
-            for i, m in enumerate(self._rasterize_masks(record, flip)):
+            for i, m in enumerate(masks):
                 if i >= self.max_boxes:
                     break
-                nh = round(m.shape[0] * scale)
-                nw = round(m.shape[1] * scale)
+                nh = max(round(m.shape[0] * r), 1)
+                nw = max(round(m.shape[1] * r), 1)
                 rm = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
                 dense[i, : min(nh, th), : min(nw, tw)] = rm[
                     : min(nh, th), : min(nw, tw)
                 ]
             sample["gt_masks"] = dense
-        if self.with_keypoints:
-            sample["gt_keypoints"] = self._dense_keypoints(
-                record, flip, scale
-            )
+        if kpts is not None:
+            out = np.zeros((self.max_boxes, self.num_keypoints, 3), np.float32)
+            g = min(len(kpts), self.max_boxes)
+            if g:
+                kk = kpts[:g].copy()
+                kk[..., :2] *= r
+                out[:g] = kk
+            sample["gt_keypoints"] = out
         sample["image"] = np.ascontiguousarray(img, np.float32)
         sample["image_id"] = np.asarray(record.get("image_id", 0), np.int64)
-        sample["scale"] = np.asarray(scale, np.float32)
+        sample["scale"] = np.asarray(pre_scale * r, np.float32)
         sample["orig_hw"] = np.asarray(
             [record.get("height", img.shape[0]), record.get("width", img.shape[1])],
             np.int32,
         )
         return sample
+
+    def __call__(self, record: dict) -> Dict[str, np.ndarray]:
+        img = read_image_bgr(record["file_name"])
+        boxes, classes = annotations_to_arrays(record)
+        masks = self._rasterize_masks_raw(record) if self.with_masks else None
+        kpts = self._extract_keypoints(record) if self.with_keypoints else None
+        img, boxes, classes, masks, kpts, pre_scale = self._apply_augmentations(
+            img, boxes, classes, masks, kpts
+        )
+        return self._finalize(record, img, boxes, classes, masks, kpts, pre_scale)
 
 
 class YOLOXDatasetMapper(SimpleDatasetMapper):
@@ -302,6 +364,112 @@ class YOLOXDatasetMapper(SimpleDatasetMapper):
         return sample
 
 
+class DarknetMosaicDatasetMapper(SimpleDatasetMapper):
+    """Darknet-style cut-point blend mosaic with a stateful record pool
+    (``MyDatasetMapper``, ref dataset_mapper.py:24-336): 50% coin flip once
+    the pool holds > NUM_IMAGES records; sampled records are re-loaded and
+    re-augmented through the cfg chain, then blended at a random cut point.
+    Supports the mask path (``with_masks=True``) — this is the reference's
+    train_inseg/SparseInst data path."""
+
+    def __init__(
+        self, cfg, is_train: bool = True, seed: int = 0,
+        with_masks: bool = False, with_keypoints: bool = False,
+    ):
+        super().__init__(cfg, is_train, seed, with_masks, with_keypoints)
+        mcfg = cfg.INPUT.MOSAIC
+        self.mosaic_enabled = bool(mcfg.ENABLED) and is_train
+        self.num_images = int(mcfg.NUM_IMAGES)
+        self.min_offset = float(mcfg.MIN_OFFSET)
+        self.mosaic_hw = (int(mcfg.MOSAIC_HEIGHT), int(mcfg.MOSAIC_WIDTH))
+        self.pool: deque = deque(maxlen=mcfg.POOL_CAPACITY)
+        # late-training aug disable switch (AugDisableHook)
+        self.enable_aug = True
+
+    def _load_tile(self, record: dict):
+        img = read_image_bgr(record["file_name"])
+        boxes, classes = annotations_to_arrays(record)
+        masks = self._rasterize_masks_raw(record) if self.with_masks else None
+        img, boxes, classes, masks, _, _ = self._apply_augmentations(
+            img, boxes, classes, masks, None
+        )
+        return img, boxes, classes, masks
+
+    def __call__(self, record: dict) -> Dict[str, np.ndarray]:
+        if not (self.mosaic_enabled and self.enable_aug):
+            return super().__call__(record)
+
+        do_mosaic = (
+            len(self.pool) > self.num_images
+            and int(self.rng.integers(2)) == 1
+        )
+        samples = None
+        if do_mosaic:
+            idxs = self.rng.choice(
+                len(self.pool), self.num_images - 1, replace=True
+            )
+            samples = [self.pool[int(i)] for i in idxs]
+        self.pool.append(record)
+        if not do_mosaic:
+            return super().__call__(record)
+
+        tiles = [self._load_tile(r) for r in [record] + samples]
+        img, boxes, classes, masks = A.blend_mosaic4(
+            tiles, self.mosaic_hw, self.min_offset, self.rng
+        )
+        return self._finalize(record, img, boxes, classes, masks, None, 1.0)
+
+
+class DetrDatasetMapper(SimpleDatasetMapper):
+    """DETR mapper (ref dataset_mapper.py:804-884): ResizeShortestEdge +
+    flip, with a 50% branch that inserts a small resize + random crop
+    before the final resize (``crop_gen``, ref :818-823, :847-855)."""
+
+    def __init__(self, cfg, is_train: bool = True, seed: int = 0):
+        from yolov7_d2_tpu.data.transforms.api import (
+            RandomCrop,
+            RandomFlip,
+            ResizeShortestEdge,
+        )
+
+        super().__init__(cfg, is_train, seed)
+        if is_train:
+            self.tfm_gens = [
+                RandomFlip(cfg.INPUT.RANDOM_FLIP_HORIZONTAL.PROB),
+                ResizeShortestEdge(
+                    cfg.INPUT.MIN_SIZE_TRAIN,
+                    cfg.INPUT.MAX_SIZE_TRAIN,
+                    cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
+                ),
+            ]
+        else:
+            self.tfm_gens = [
+                ResizeShortestEdge(
+                    cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
+                )
+            ]
+        self.crop_gen = None
+        if cfg.INPUT.CROP.ENABLED and is_train:
+            self.crop_gen = [
+                ResizeShortestEdge([400, 500, 600], 10_000, "choice"),
+                RandomCrop(cfg.INPUT.CROP.TYPE, cfg.INPUT.CROP.SIZE),
+            ]
+
+    def __call__(self, record: dict) -> Dict[str, np.ndarray]:
+        if self.crop_gen is None or self.rng.random() > 0.5:
+            self.augmentations = self.tfm_gens
+        else:
+            self.augmentations = (
+                self.tfm_gens[:-1] + self.crop_gen + self.tfm_gens[-1:]
+            )
+        img = read_image_bgr(record["file_name"])
+        boxes, classes = annotations_to_arrays(record)
+        img, boxes, classes, _, _, pre_scale = self._apply_augmentations(
+            img, boxes, classes, None, None
+        )
+        return self._finalize(record, img, boxes, classes, None, None, pre_scale)
+
+
 # Reference-name aliases
-MyDatasetMapper = SimpleDatasetMapper
+MyDatasetMapper = DarknetMosaicDatasetMapper
 MyDatasetMapper2 = YOLOXDatasetMapper

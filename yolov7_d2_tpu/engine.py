@@ -254,6 +254,32 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
                 use_focal=use_focal,
             )
 
+    elif arch in ("MaskRCNN", "FasterRCNN"):
+        from yolov7_d2_tpu.models.meta_arch.mask_rcnn import mask_rcnn_losses
+
+        if arch == "MaskRCNN" and cfg.MODEL.MASK_ON:
+            fields = ("image", "gt_masks", "gt_boxes", "gt_classes", "gt_valid")
+
+        def loss_fn(out, batch, use_l1_flag):
+            return mask_rcnn_losses(
+                out, batch, cfg.MODEL.ROI_HEADS.NUM_CLASSES
+            )
+
+    elif arch == "PanopticFPN":
+        from yolov7_d2_tpu.models.meta_arch.panoptic_fpn import panoptic_losses
+
+        fields = (
+            "image", "gt_masks", "gt_boxes", "gt_classes", "gt_valid",
+            "gt_sem_seg",
+        )
+
+        def loss_fn(out, batch, use_l1_flag):
+            return panoptic_losses(
+                out, batch,
+                cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+                cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+            )
+
     elif arch == "YOLOMask":
         from yolov7_d2_tpu.models.meta_arch.yolomask import orien_loss
         from yolov7_d2_tpu.models.meta_arch.yolov7 import (

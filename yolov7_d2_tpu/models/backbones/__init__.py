@@ -22,4 +22,4 @@ from yolov7_d2_tpu.models.backbones import (  # noqa: F401
     res2net,
     swin,
 )
-from yolov7_d2_tpu.models.backbones import dla, mobile  # noqa: F401
+from yolov7_d2_tpu.models.backbones import dla, mobile, yolov5  # noqa: F401

@@ -16,6 +16,7 @@ from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
 
 # (depths, widths, group_width) per stage — standard published configs
 REGNET_SPECS: Dict[str, Tuple[Tuple[int, ...], Tuple[int, ...], int]] = {
+    "x_200mf": ((1, 1, 4, 7), (24, 56, 152, 368), 8),
     "x_400mf": ((1, 2, 7, 12), (32, 64, 160, 384), 16),
     "x_800mf": ((1, 3, 7, 5), (64, 128, 288, 672), 16),
     "x_1.6gf": ((2, 4, 10, 2), (72, 168, 408, 912), 24),
@@ -100,10 +101,17 @@ class RegNet(nn.Module):
 
 @BACKBONE_REGISTRY.register()
 def build_regnet_backbone(cfg, dtype=jnp.float32):
-    t = cfg.MODEL.REGNETS.TYPE
-    variant = t if "_" in t else f"{t}_400mf"
+    """Accepts reference-style names ('RegNetX_400MF', 'regnetx_0.4g',
+    'regnetx_200mf') and spec keys ('x_400mf')."""
+    t = cfg.MODEL.REGNETS.TYPE.lower().replace("regnet", "").lstrip("_")
+    t = {
+        "x_0.2g": "x_200mf", "x_0.4g": "x_400mf", "x_0.8g": "x_800mf",
+        "x_1.6g": "x_1.6gf", "y_0.4g": "y_400mf", "y_0.8g": "y_800mf",
+    }.get(t, t)
+    if "_" not in t:
+        t = f"{t}_400mf"
     return RegNet(
-        variant=variant,
+        variant=t,
         out_features=tuple(cfg.MODEL.REGNETS.OUT_FEATURES),
         dtype=dtype,
     )

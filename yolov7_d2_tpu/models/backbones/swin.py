@@ -119,18 +119,27 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        # pad to window multiples (reference swin_transformer.py F.pads the
+        # feature map before partitioning, then crops after reversing)
+        pad_h = (-h) % ws
+        pad_w = (-w) % ws
+        if pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = shift_attn_mask(h, w, ws, shift)
+            mask = shift_attn_mask(hp, wp, ws, shift)
         else:
             mask = None
         wins = window_partition(y, ws)
         wins = WindowAttention(
             self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
         )(wins, mask)
-        y = window_reverse(wins, ws, h, w)
+        y = window_reverse(wins, ws, hp, wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            y = y[:, :h, :w]
         x = x + y
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
@@ -149,6 +158,9 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        if h % 2 or w % 2:  # reference pads odd maps before merging
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)

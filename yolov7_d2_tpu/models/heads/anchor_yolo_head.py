@@ -30,11 +30,16 @@ from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
 
 
 class AnchorYOLOHead(nn.Module):
-    """Per-level: 3x3 conv tower -> 1x1 predict (3 anchors x (5 + C))."""
+    """Per-level: 3x3 conv tower -> 1x1 predict (3 anchors x (5 + C)).
+
+    ``direct_pred=True`` is the YOLOV7P flavour (reference
+    yolov7p.py:106-113): the per-level prediction is a single 1x1 conv
+    straight off the neck output, no tower."""
 
     num_classes: int = 80
     num_anchors_per_level: int = 3
     act: str = "lrelu"
+    direct_pred: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -43,9 +48,10 @@ class AnchorYOLOHead(nn.Module):
     ) -> List[jnp.ndarray]:
         outs = []
         for lvl, x in enumerate(feats):
-            c = x.shape[-1]
-            x = BaseConv(c * 2, 3, 1, act=self.act, dtype=self.dtype,
-                         name=f"tower_{lvl}")(x, train)
+            if not self.direct_pred:
+                c = x.shape[-1]
+                x = BaseConv(c * 2, 3, 1, act=self.act, dtype=self.dtype,
+                             name=f"tower_{lvl}")(x, train)
             x = nn.Conv(
                 self.num_anchors_per_level * (5 + self.num_classes), (1, 1),
                 dtype=self.dtype, param_dtype=jnp.float32,

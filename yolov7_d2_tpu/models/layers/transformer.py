@@ -19,9 +19,12 @@ from flax import linen as nn
 
 def sine_position_embedding(
     h: int, w: int, num_pos_feats: int = 128, temperature: float = 10000.0,
-    normalize: bool = True,
+    normalize: bool = True, centered: bool = False,
 ) -> jnp.ndarray:
-    """2D sine PE [h, w, 2*num_pos_feats] (PositionEmbeddingSine:309)."""
+    """2D sine PE [h, w, 2*num_pos_feats] (PositionEmbeddingSine:309).
+
+    ``centered`` is the d2go half-pixel variant (detr_backbone.py:345-352,
+    used via MODEL.DETR.CENTERED_POSITION_ENCODIND)."""
     ys = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None]
     xs = jnp.arange(1, w + 1, dtype=jnp.float32)[None, :]
     y_embed = jnp.broadcast_to(ys, (h, w))
@@ -29,8 +32,12 @@ def sine_position_embedding(
     if normalize:
         eps = 1e-6
         scale = 2 * math.pi
-        y_embed = y_embed / (h + eps) * scale
-        x_embed = x_embed / (w + eps) * scale
+        if centered:
+            y_embed = (y_embed - 0.5) / (h + eps) * scale
+            x_embed = (x_embed - 0.5) / (w + eps) * scale
+        else:
+            y_embed = y_embed / (h + eps) * scale
+            x_embed = x_embed / (w + eps) * scale
     dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
     dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
     pos_x = x_embed[..., None] / dim_t

@@ -23,3 +23,4 @@ from yolov7_d2_tpu.models.meta_arch import detr  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import solov2  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import detr_variants  # noqa: F401
 from yolov7_d2_tpu.models.meta_arch import detr_seg, yolomask  # noqa: F401
+from yolov7_d2_tpu.models.meta_arch import mask_rcnn, panoptic_fpn  # noqa: F401

@@ -8,6 +8,11 @@ Parity targets:
   * ``SMCADetr`` — meta_arch/smca_detr.py:39 + smcadetr_backbone.py
     (spatially-modulated co-attention: per-query gaussian prior added to the
     cross-attention logits) + ``HungarianMatcherSMCA`` (detr_utils.py:179).
+    NOTE: the reference's SMCA transformer operates on a SINGLE flattened
+    level (smcadetr_backbone.py:66-81 — one (h, w) grid, one memory) with
+    dynamic_scale='type3' (meta_arch/smca_detr.py:78): per-head (sx, sy)
+    gaussian scales. Our per-head (cx, cy, sx, sy) prediction is exactly
+    the type3 formulation.
   * ``DABDetr`` — meta_arch/dab_detr.py:34 (dynamic anchor boxes refined per
     decoder layer; the reference reuses detr_backbone's Transformer — we make
     the box refinement explicit).
@@ -84,8 +89,51 @@ class RCDADecoderLayer(nn.Module):
         )
 
 
+class RCDAEncoderLayer(nn.Module):
+    """RCDA-spatial encoder layer (TransformerEncoderLayerSpatial,
+    /root/reference/yolov7/modeling/backbone/anchordetr_backbone.py:175):
+    self-attention over the 2D memory where every pixel attends via
+    row/column-decoupled attention — queries are the pixels themselves with
+    the row (x) / column (y) axis embeddings added, matching the reference's
+    ``posemb_row``/``posemb_col`` broadcast (:203-213)."""
+
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src2d, pos_row, pos_col, train: bool = False):
+        """src2d [B,H,W,C]; pos_row [W,C]; pos_col [H,C]."""
+        b, h, w, c = src2d.shape
+        with_row = src2d + pos_row[None, None, :, :]
+        with_col = src2d + pos_col[None, :, None, :]
+        y = RCDAttention(
+            self.d_model, self.nhead, dtype=self.dtype, name="self_attn"
+        )(
+            with_row.reshape(b, h * w, c),
+            with_col.reshape(b, h * w, c),
+            with_row,
+            with_col,
+            src2d,
+        ).reshape(b, h, w, c)
+        src2d = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            src2d + y
+        ).astype(self.dtype)
+        y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear1")(src2d)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="linear2")(y)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            src2d + y
+        ).astype(self.dtype)
+
+
 class AnchorDETR(nn.Module):
-    """Anchor query points x patterns + RCDA decoder."""
+    """Anchor query points x patterns + RCDA encoder AND decoder
+    (``attention_type='RCDA'``, the reference default; 'nn.MultiheadAttention'
+    falls back to the dense encoder, anchordetr_backbone.py:184-188)."""
 
     num_classes: int = 80
     hidden_dim: int = 256
@@ -97,6 +145,7 @@ class AnchorDETR(nn.Module):
     dim_feedforward: int = 1024
     resnet_depth: int = 50
     spatial_prior: str = "learned"  # learned | grid
+    attention_type: str = "RCDA"    # RCDA | nn.MultiheadAttention
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -111,18 +160,30 @@ class AnchorDETR(nn.Module):
         src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32, name="input_proj")(f)
 
-        pos2d = sine_position_embedding(h, w, self.hidden_dim // 2)
-        pos2d = jnp.broadcast_to(
-            pos2d[None], (b, h, w, self.hidden_dim)
-        ).astype(self.dtype)
-        mem = src.reshape(b, h * w, self.hidden_dim)
-        posf = pos2d.reshape(b, h * w, self.hidden_dim)
-        for i in range(self.enc_layers):
-            mem = EncoderLayer(
-                self.hidden_dim, self.nheads, self.dim_feedforward,
-                dropout=0.0, dtype=self.dtype, name=f"enc_{i}",
-            )(mem, posf, train)
-        memory_2d = mem.reshape(b, h, w, self.hidden_dim)
+        # 1D axis positional embeddings shared by encoder + decoder RCDA
+        enc_pos_row = sine_position_embedding(1, w, self.hidden_dim // 2)[0]
+        enc_pos_col = sine_position_embedding(h, 1, self.hidden_dim // 2)[:, 0]
+        if self.attention_type == "RCDA":
+            memory_2d = src
+            for i in range(self.enc_layers):
+                memory_2d = RCDAEncoderLayer(
+                    self.hidden_dim, self.nheads, self.dim_feedforward,
+                    dtype=self.dtype, name=f"enc_{i}",
+                )(memory_2d, enc_pos_row.astype(self.dtype),
+                  enc_pos_col.astype(self.dtype), train)
+        else:
+            pos2d = sine_position_embedding(h, w, self.hidden_dim // 2)
+            pos2d = jnp.broadcast_to(
+                pos2d[None], (b, h, w, self.hidden_dim)
+            ).astype(self.dtype)
+            mem = src.reshape(b, h * w, self.hidden_dim)
+            posf = pos2d.reshape(b, h * w, self.hidden_dim)
+            for i in range(self.enc_layers):
+                mem = EncoderLayer(
+                    self.hidden_dim, self.nheads, self.dim_feedforward,
+                    dropout=0.0, dtype=self.dtype, name=f"enc_{i}",
+                )(mem, posf, train)
+            memory_2d = mem.reshape(b, h, w, self.hidden_dim)
 
         # anchor points in [0, 1]^2
         if self.spatial_prior == "grid":
@@ -158,9 +219,8 @@ class AnchorDETR(nn.Module):
             query_pos[None], (b, Q, self.hidden_dim)
         ).astype(self.dtype)
 
-        # 1D axis positional embeddings for RCDA keys
-        pos_row = sine_position_embedding(1, w, self.hidden_dim // 2)[0]
-        pos_col = sine_position_embedding(h, 1, self.hidden_dim // 2)[:, 0]
+        # decoder RCDA keys reuse the encoder's axis embeddings
+        pos_row, pos_col = enc_pos_row, enc_pos_col
         anchor_xy = jnp.tile(points, (self.num_query_pattern, 1))  # [Q, 2]
 
         cls_head = nn.Dense(self.num_classes, param_dtype=jnp.float32,
@@ -441,6 +501,10 @@ def build_anchor_detr(cfg, dtype: Optional[Any] = None):
         dim_feedforward=d.DIM_FEEDFORWARD,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
         spatial_prior=d.SPATIAL_PRIOR,
+        attention_type=(
+            d.ATTENTION_TYPE if d.ATTENTION_TYPE == "nn.MultiheadAttention"
+            else "RCDA"
+        ),
         dtype=dtype,
     )
 
@@ -479,11 +543,144 @@ def build_dab_detr(cfg, dtype: Optional[Any] = None):
     )
 
 
+class DetrD2goModule(nn.Module):
+    """D2go DETR (reference meta_arch/detr_d2go.py:170-280): a generic
+    masked backbone (resnet / fbnet / any registered builder), optional
+    centered sine PE (CENTERED_POSITION_ENCODIND), attention type DETR or
+    SMCA, and a focal classification head (C logits, no "no-object" class)
+    when USE_FOCAL_LOSS — the FocalLossSetCriterion pairing
+    (loss/setcriterion.py:295). The reference's deformable branch prints
+    'Deformable not supported now.' and exits; parity preserved by
+    supporting exactly {DETR, SMCA}."""
+
+    num_classes: int = 80
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    attention_type: str = "DETR"      # DETR | SMCA
+    centered_pe: bool = False
+    use_focal: bool = False
+    backbone: Optional[nn.Module] = None
+    backbone_feature: str = "res5"
+    resnet_depth: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        mean = jnp.asarray([103.53, 116.28, 123.675])
+        std = jnp.asarray([57.375, 57.12, 58.395])
+        x = ((images - mean) / std).astype(self.dtype)
+        if self.backbone is not None:
+            feats = self.backbone(x, train)
+            # deepest feature of whatever the backbone emits
+            f = (
+                feats[self.backbone_feature]
+                if self.backbone_feature in feats
+                else list(feats.values())[-1]
+            )
+        else:
+            feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                           dtype=self.dtype, name="backbone")(x, train)
+            f = feats["res5"]
+        b, h, w, _ = f.shape
+        src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="input_proj")(f)
+        pos2d = sine_position_embedding(
+            h, w, self.hidden_dim // 2, centered=self.centered_pe
+        )
+        pos = jnp.broadcast_to(
+            pos2d[None], (b, h, w, self.hidden_dim)
+        ).reshape(b, h * w, self.hidden_dim).astype(self.dtype)
+        mem = src.reshape(b, h * w, self.hidden_dim)
+        for i in range(self.enc_layers):
+            mem = EncoderLayer(
+                self.hidden_dim, self.nheads, self.dim_feedforward,
+                dropout=0.0, dtype=self.dtype, name=f"enc_{i}",
+            )(mem, pos, train)
+
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (self.num_queries, self.hidden_dim),
+        )
+        query_pos = jnp.broadcast_to(
+            query_embed[None], (b, self.num_queries, self.hidden_dim)
+        ).astype(self.dtype)
+        tgt = jnp.zeros_like(query_pos)
+
+        # focal head: C logits (sigmoid); CE head: C+1 with no-object
+        n_logits = self.num_classes if self.use_focal else self.num_classes + 1
+        cls_head = nn.Dense(n_logits, param_dtype=jnp.float32,
+                            name="class_embed")
+        box_head = MLP(self.hidden_dim, 4, 3, name="bbox_embed")
+
+        all_logits, all_boxes = [], []
+        if self.attention_type == "SMCA":
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+            grid_yx = jnp.stack([gy, gx], -1).reshape(-1, 2)
+            cs_head = MLP(self.hidden_dim, self.nheads * 4, 2, name="cs_head")
+            for i in range(self.dec_layers):
+                cs = cs_head(query_pos.astype(jnp.float32)).reshape(
+                    b, self.num_queries, self.nheads, 4
+                )
+                cs = cs.at[..., 0:2].set(jax.nn.sigmoid(cs[..., 0:2]))
+                tgt = SMCADecoderLayer(
+                    self.hidden_dim, self.nheads, self.dim_feedforward,
+                    dtype=self.dtype, name=f"dec_{i}",
+                )(tgt, mem, query_pos, pos, cs, grid_yx, train)
+                o = tgt.astype(jnp.float32)
+                all_logits.append(cls_head(o))
+                all_boxes.append(jax.nn.sigmoid(box_head(o)))
+        else:
+            from yolov7_d2_tpu.models.layers.transformer import DecoderLayer
+
+            for i in range(self.dec_layers):
+                tgt = DecoderLayer(
+                    self.hidden_dim, self.nheads, self.dim_feedforward,
+                    dropout=0.0, dtype=self.dtype, name=f"dec_{i}",
+                )(tgt, mem, query_pos, pos, train)
+                o = nn.LayerNorm(dtype=jnp.float32, name=f"dec_norm_{i}")(
+                    tgt.astype(jnp.float32)
+                )
+                all_logits.append(cls_head(o))
+                all_boxes.append(jax.nn.sigmoid(box_head(o)))
+        return {
+            "pred_logits": all_logits[-1],
+            "pred_boxes": all_boxes[-1],
+            "aux_logits": jnp.stack(all_logits)[:-1],
+            "aux_boxes": jnp.stack(all_boxes)[:-1],
+        }
+
+
 @META_ARCH_REGISTRY.register(name="DetrD2go")
 def build_detr_d2go(cfg, dtype: Optional[Any] = None):
-    """D2go-style DETR: the reference pairs FBNet/ResNet backbones with a
-    focal-loss criterion; structurally the standard DETR graph here (the
-    focal criterion is selected by MODEL.DETR.USE_FOCAL_LOSS in the engine)."""
-    from yolov7_d2_tpu.models.meta_arch.detr import build_detr
+    """Builder parity with detr_d2go.py:203-209 backbone selection: resnet
+    names get the builtin masked ResNet; anything else (e.g.
+    build_fbnet_backbone) resolves through BACKBONE_REGISTRY."""
+    from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
 
-    return build_detr(cfg, dtype)
+    dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
+    d = cfg.MODEL.DETR
+    name = cfg.MODEL.BACKBONE.NAME
+    backbone = None
+    if name and "resnet" not in name.lower():
+        backbone = BACKBONE_REGISTRY.get(name)(cfg, dtype=dtype)
+    return DetrD2goModule(
+        num_classes=d.NUM_CLASSES,
+        hidden_dim=d.HIDDEN_DIM,
+        num_queries=d.NUM_OBJECT_QUERIES,
+        nheads=d.NHEADS,
+        enc_layers=d.ENC_LAYERS,
+        dec_layers=d.DEC_LAYERS,
+        dim_feedforward=d.DIM_FEEDFORWARD,
+        attention_type=d.ATTENTION_TYPE if d.ATTENTION_TYPE in ("DETR", "SMCA") else "DETR",
+        centered_pe=d.CENTERED_POSITION_ENCODIND,
+        use_focal=d.USE_FOCAL_LOSS,
+        backbone=backbone,
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        dtype=dtype,
+    )

@@ -381,6 +381,13 @@ def sparseinst_postprocess(
             out["mask_logits"], top_idx[..., None, None], axis=1
         )
     )
+    # maskness rescoring (reference rescoring_mask, sparseinst.py:25-27:
+    # score *= mean soft-mask probability over the binarized support)
+    binary = (masks > mask_threshold).astype(jnp.float32)
+    maskness = (masks * binary).sum(axis=(-2, -1)) / (
+        binary.sum(axis=(-2, -1)) + 1e-6
+    )
+    top_scores = top_scores * maskness
     valid = top_scores > 0
     # derive boxes from masks for the Detections contract
     binm = masks > mask_threshold
@@ -405,6 +412,29 @@ def sparseinst_postprocess(
         valid=valid & any_px,
         masks=masks,
     )
+
+
+def upsample_masks_two_stage(
+    masks: jnp.ndarray,
+    input_hw,
+    image_hw,
+    orig_hw,
+    mask_threshold: float = 0.45,
+) -> jnp.ndarray:
+    """Reference two-stage mask upsampling (sparseinst.py:210-227):
+    (1) bilinear to the PADDED input size, crop the un-padded region,
+    (2) bilinear to the original image size, then binarize.
+
+    ``masks`` [N, Hm, Wm] soft masks; ``input_hw`` padded model input;
+    ``image_hw`` valid (pre-pad) region; ``orig_hw`` original image size.
+    """
+    n = masks.shape[0]
+    ih, iw = input_hw
+    vh, vw = image_hw
+    oh, ow = orig_hw
+    up = jax.image.resize(masks, (n, ih, iw), "bilinear")[:, :vh, :vw]
+    up = jax.image.resize(up, (n, oh, ow), "bilinear")
+    return up > mask_threshold
 
 
 @META_ARCH_REGISTRY.register(name="SparseInst")

@@ -56,6 +56,16 @@ class AnchorYOLO(nn.Module):
     width_mul: float = 1.0
     depth_mul: float = 1.0
     act: str = "lrelu"
+    # generic path: a pre-built backbone module from BACKBONE_REGISTRY
+    # (the reference YOLOV7 arch accepts any registered backbone,
+    # meta_arch/yolov7.py:45-53); overrides backbone_type when set
+    backbone: Optional[nn.Module] = None
+    # YOLOV7P style (reference yolov7p.py:106-113): per-level 1x1 preds
+    # straight off the neck instead of a 3x3 tower, and pixel mean/std
+    # input normalization (yolov7p.py:119-124)
+    head_style: str = "tower"  # tower | direct
+    pixel_mean: Optional[Tuple[float, float, float]] = None
+    pixel_std: Optional[Tuple[float, float, float]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,7 +73,13 @@ class AnchorYOLO(nn.Module):
         self, images: jnp.ndarray, train: bool = False
     ) -> Dict[str, jnp.ndarray]:
         x = images.astype(self.dtype)
-        if self.backbone_type == "cspdarknetx":
+        if self.pixel_mean is not None:
+            mean = jnp.asarray(self.pixel_mean, self.dtype)
+            std = jnp.asarray(self.pixel_std, self.dtype)
+            x = (x / 255.0 - mean) / std
+        if self.backbone is not None:
+            feats = self.backbone(x, train)
+        elif self.backbone_type == "cspdarknetx":
             feats = CSPDarknetX(
                 dep_mul=self.depth_mul, wid_mul=self.width_mul,
                 out_features=self.in_features, act="silu",
@@ -81,6 +97,21 @@ class AnchorYOLO(nn.Module):
                 depth=self.depth_mul, width=self.width_mul,
                 act="silu", dtype=self.dtype, name="neck",
             )(feat_list, train)
+        elif self.neck_type == "bifpn":
+            # reference registers BiFPN combos as backbones
+            # (neck/bifpn.py:434-482); here it is a neck choice — the head
+            # consumes the stride-8/16/32 levels of the 5-level pyramid
+            from yolov7_d2_tpu.models.necks.bifpn import BiFPN
+
+            neck_out = BiFPN(dtype=self.dtype, name="neck")(
+                feat_list, train
+            )[:3]
+        elif self.neck_type in ("pan", "ppyolo_pan"):
+            from yolov7_d2_tpu.models.necks.reppan import PPYOLOPAN
+
+            neck_out = PPYOLOPAN(
+                with_spp=self.with_spp, dtype=self.dtype, name="neck",
+            )(feat_list, train)
         else:
             neck_out = YOLOFPN(
                 with_spp=self.with_spp, act=self.act, dtype=self.dtype,
@@ -88,6 +119,7 @@ class AnchorYOLO(nn.Module):
             )(feat_list, train)
         level_outputs = AnchorYOLOHead(
             num_classes=self.num_classes, act=self.act, dtype=self.dtype,
+            direct_pred=(self.head_style == "direct"),
             name="head",
         )(neck_out, train)
         flat = flatten_anchor_outputs(level_outputs, self.anchors, LEVEL_STRIDES)
@@ -192,16 +224,19 @@ def build_yolo(cfg, dtype: Optional[Any] = None):
 
 @META_ARCH_REGISTRY.register(name="YOLOV5")
 def build_yolov5(cfg, dtype: Optional[Any] = None):
-    """YOLOV5 (reference meta_arch/yolov5.py:48): CSP backbone + PAFPN +
-    anchor head with the v5 ratio-based target builder and CIoU loss —
-    the loss wiring selects BUILD_TARGET_TYPE='yolov5' at the engine level."""
+    """YOLOV5 (reference meta_arch/yolov5.py:48): the DEDICATED v5 CSP
+    backbone (yolov5_backbone.py:14 — Focus stem, v5 depth plan, SPP-last,
+    narrowed C5) + PAFPN + anchor head with the v5 ratio-based target
+    builder and CIoU loss (BUILD_TARGET_TYPE='yolov5' at the engine level)."""
+    from yolov7_d2_tpu.models.backbones.yolov5 import build_yolov5_backbone
+
     dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
     return AnchorYOLO(
         num_classes=cfg.MODEL.YOLO.CLASSES,
         anchors=_anchors_from_cfg(cfg),
-        backbone_type="cspdarknetx",
+        backbone=build_yolov5_backbone(cfg, dtype=dtype),
         neck_type="pafpn",
-        in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
+        in_features=("c3", "c4", "c5"),
         width_mul=cfg.MODEL.YOLO.WIDTH_MUL,
         depth_mul=cfg.MODEL.YOLO.DEPTH_MUL,
         act="silu",
@@ -212,28 +247,40 @@ def build_yolov5(cfg, dtype: Optional[Any] = None):
 @META_ARCH_REGISTRY.register(name="YOLOV7P")
 def build_yolov7p(cfg, dtype: Optional[Any] = None):
     """YOLOV7P (reference meta_arch/yolov7p.py:42) — yolov7 fused with the
-    decoupled-head flavour; structurally the PAFPN variant here."""
+    decoupled-head flavour; accepts any registered backbone like YOLOV7
+    (the reference r50.yaml pairs it with a ResNet)."""
     dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
-    return AnchorYOLO(
+    name = cfg.MODEL.BACKBONE.NAME
+    common = dict(
         num_classes=cfg.MODEL.YOLO.CLASSES,
         anchors=_anchors_from_cfg(cfg),
-        backbone_type="cspdarknet53",
         neck_type="pafpn",
         in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
         act="silu",
+        head_style="direct",
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype=dtype,
     )
+    if name in _BACKBONE_NAME_MAP:
+        return AnchorYOLO(backbone_type=_BACKBONE_NAME_MAP[name], **common)
+    backbone = BACKBONE_REGISTRY.get(name)(cfg, dtype=dtype)
+    return AnchorYOLO(backbone=backbone, **common)
 
 
 @META_ARCH_REGISTRY.register(name="YOLOV7")
 def build_yolov7(cfg, dtype: Optional[Any] = None):
+    """The reference YOLOV7 arch accepts any registered backbone
+    (meta_arch/yolov7.py:45-53 asserts against a support list); darknet
+    variants take the tuned builtin path, everything else resolves through
+    BACKBONE_REGISTRY (resnet/res2net/swin/pvt/regnet/convnext/...)."""
     dtype = dtype or (jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32)
-    bb = _BACKBONE_NAME_MAP.get(cfg.MODEL.BACKBONE.NAME, "cspdarknet53")
-    neck = "pafpn" if cfg.MODEL.YOLO.NECK.TYPE == "pafpn" else "yolov3"
-    return AnchorYOLO(
+    name = cfg.MODEL.BACKBONE.NAME
+    neck_t = cfg.MODEL.YOLO.NECK.TYPE
+    neck = neck_t if neck_t in ("pafpn", "bifpn", "pan", "ppyolo_pan") else "yolov3"
+    common = dict(
         num_classes=cfg.MODEL.YOLO.CLASSES,
         anchors=_anchors_from_cfg(cfg),
-        backbone_type=bb,
         neck_type=neck,
         in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
         with_spp=cfg.MODEL.YOLO.NECK.WITH_SPP,
@@ -242,3 +289,7 @@ def build_yolov7(cfg, dtype: Optional[Any] = None):
         act="silu",
         dtype=dtype,
     )
+    if name in _BACKBONE_NAME_MAP:
+        return AnchorYOLO(backbone_type=_BACKBONE_NAME_MAP[name], **common)
+    backbone = BACKBONE_REGISTRY.get(name)(cfg, dtype=dtype)
+    return AnchorYOLO(backbone=backbone, **common)

@@ -38,7 +38,11 @@ from yolov7_d2_tpu.structures.instances import Detections
 
 
 class YOLOX(nn.Module):
-    """backbone -> neck -> head; returns raw head outputs (+grids/strides)."""
+    """backbone -> neck -> head; returns raw head outputs (+grids/strides).
+
+    ``backbone=None`` uses the builtin CSPDarknet-X; the reference YOLOX
+    resolves any registered backbone via ``build_backbone(cfg)``
+    (yolox.py:60) — pass a pre-built module for regnet/convnext/... configs."""
 
     num_classes: int = 80
     depth_mul: float = 0.33
@@ -47,6 +51,7 @@ class YOLOX(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     normalize_input: bool = False  # MODEL.YOLO.NORMALIZE_INPUT
+    backbone: Optional[nn.Module] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,15 +61,18 @@ class YOLOX(nn.Module):
         x = images.astype(self.dtype)
         if self.normalize_input:
             x = x / 255.0
-        feats = CSPDarknetX(
-            dep_mul=self.depth_mul,
-            wid_mul=self.width_mul,
-            out_features=self.in_features,
-            depthwise=self.depthwise,
-            act=self.act,
-            dtype=self.dtype,
-            name="backbone",
-        )(x, train)
+        if self.backbone is not None:
+            feats = self.backbone(x, train)
+        else:
+            feats = CSPDarknetX(
+                dep_mul=self.depth_mul,
+                wid_mul=self.width_mul,
+                out_features=self.in_features,
+                depthwise=self.depthwise,
+                act=self.act,
+                dtype=self.dtype,
+                name="backbone",
+            )(x, train)
         fpn_outs = YOLOPAFPN(
             depth=self.depth_mul,
             width=self.width_mul,
@@ -146,9 +154,17 @@ def yolox_postprocess(
 
 @META_ARCH_REGISTRY.register(name="YOLOX")
 def build_yolox(cfg, dtype: Optional[Any] = None):
+    from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
+
     dtype = dtype or (
         jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32
     )
+    # non-darknet backbones resolve through the registry (reference
+    # yolox.py:60 build_backbone(cfg) — e.g. yolox_convnext / regnetx_s)
+    name = cfg.MODEL.BACKBONE.NAME
+    backbone = None
+    if name and name != "build_cspdarknetx_backbone":
+        backbone = BACKBONE_REGISTRY.get(name)(cfg, dtype=dtype)
     return YOLOX(
         num_classes=cfg.MODEL.YOLO.CLASSES,
         depth_mul=cfg.MODEL.YOLO.DEPTH_MUL,
@@ -156,5 +172,6 @@ def build_yolox(cfg, dtype: Optional[Any] = None):
         in_features=tuple(cfg.MODEL.YOLO.IN_FEATURES),
         depthwise=cfg.MODEL.DARKNET.DEPTH_WISE,
         normalize_input=cfg.MODEL.YOLO.NORMALIZE_INPUT,
+        backbone=backbone,
         dtype=dtype,
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -65,11 +66,46 @@ class RepPANNeck(nn.Module):
         return (p3, n4, n5)
 
 
+class DropBlock(nn.Module):
+    """DropBlock2D (reference ppyolo_pan.py:122): contiguous spatial blocks
+    are zeroed during training; inference is identity. Seeds are sampled at
+    rate gamma so the expected drop fraction matches ``1 - keep_prob``."""
+
+    block_size: int = 3
+    keep_prob: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or self.keep_prob >= 1.0:
+            return x
+        b, h, w, c = x.shape
+        bs = min(self.block_size, h, w)
+        gamma = (
+            (1.0 - self.keep_prob)
+            / (bs * bs)
+            * (h * w)
+            / max((h - bs + 1) * (w - bs + 1), 1)
+        )
+        rng = self.make_rng("dropout")
+        seeds = jax.random.bernoulli(rng, gamma, (b, h, w, 1))
+        # grow each seed into a bs x bs zero block
+        block = nn.max_pool(
+            seeds.astype(x.dtype), (bs, bs), strides=(1, 1),
+            padding=[(bs // 2, (bs - 1) // 2), (bs // 2, (bs - 1) // 2)],
+        )
+        mask = 1.0 - block
+        scale = mask.size / jnp.maximum(mask.sum(), 1.0)
+        return x * mask * scale.astype(x.dtype)
+
+
 class PPYOLOPAN(nn.Module):
-    """PP-YOLOv2 PAN: conv blocks with SPP on the deepest level."""
+    """PP-YOLOv2 PAN: conv blocks with SPP on the deepest level and
+    DropBlock regularization (reference ppyolo_pan.py:122,230)."""
 
     channels: Sequence[int] = (128, 256, 512)
     with_spp: bool = True
+    drop_block: bool = True
+    keep_prob: float = 0.9
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -86,6 +122,8 @@ class PPYOLOPAN(nn.Module):
                                name="spp")(y0, train)
         y0 = BaseConv(c5, 3, 1, act="lrelu", dtype=self.dtype,
                       name="p5_out")(y0, train)
+        if self.drop_block:
+            y0 = DropBlock(keep_prob=self.keep_prob, name="drop_p5")(y0, train)
 
         u1 = jnp.concatenate(
             [upsample2x_nearest(
@@ -96,6 +134,8 @@ class PPYOLOPAN(nn.Module):
         )
         y1 = BaseConv(c4, 3, 1, act="lrelu", dtype=self.dtype,
                       name="p4_out")(u1, train)
+        if self.drop_block:
+            y1 = DropBlock(keep_prob=self.keep_prob, name="drop_p4")(y1, train)
 
         u2 = jnp.concatenate(
             [upsample2x_nearest(
@@ -106,6 +146,8 @@ class PPYOLOPAN(nn.Module):
         )
         y2 = BaseConv(c3, 3, 1, act="lrelu", dtype=self.dtype,
                       name="p3_out")(u2, train)
+        if self.drop_block:
+            y2 = DropBlock(keep_prob=self.keep_prob, name="drop_p3")(y2, train)
 
         d2 = BaseConv(c4, 3, 2, act="lrelu", dtype=self.dtype,
                       name="pan_down2")(y2, train)
