@@ -32,7 +32,7 @@ from yolov7_d2_tpu.core.registry import META_ARCH_REGISTRY
 from yolov7_d2_tpu.models.necks.fpn import ResNetFPN
 from yolov7_d2_tpu.ops.iou import pairwise_box_iou
 from yolov7_d2_tpu.ops.losses import sigmoid_binary_cross_entropy
-from yolov7_d2_tpu.ops.nms import batched_nms
+from yolov7_d2_tpu.ops.nms import batched_nms_batched, nms_batched
 from yolov7_d2_tpu.ops.roi_align import multilevel_roi_align, roi_align
 from yolov7_d2_tpu.structures.instances import Detections
 
@@ -183,17 +183,15 @@ class MaskRCNN(nn.Module):
         )
         cand_scores = jnp.where(wh_ok, cand_scores, 0.0)
 
-        def _nms_one(bx, sc):
-            keep_idx, keep_valid = batched_nms(
-                bx, sc, jnp.zeros(sc.shape, jnp.int32), 0.7,
-                self.num_proposals,
-            )
-            sel = jnp.clip(keep_idx, 0)
-            return bx[sel], jnp.where(keep_valid, sc[sel], 0.0), keep_valid
-
-        prop_boxes, prop_scores, prop_valid = jax.vmap(_nms_one)(
-            cand_boxes, cand_scores
+        keep_idx, keep_valid = nms_batched(
+            cand_boxes, cand_scores, 0.7, self.num_proposals
         )
+        sel = jnp.clip(keep_idx, 0)
+        prop_boxes = jnp.take_along_axis(cand_boxes, sel[..., None], axis=1)
+        prop_scores = jnp.where(
+            keep_valid, jnp.take_along_axis(cand_scores, sel, axis=1), 0.0
+        )
+        prop_valid = keep_valid
         prop_boxes = jax.lax.stop_gradient(prop_boxes)
 
         # ---- ROI box head
@@ -389,19 +387,18 @@ def mask_rcnn_postprocess(
         (scores >= score_threshold) & out["proposal_valid"], scores, 0.0
     )
 
-    def one(bx, sc, cl):
-        keep_idx, keep_valid = batched_nms(
-            bx, sc, cl, nms_threshold, max_detections
-        )
-        sel = jnp.clip(keep_idx, 0)
-        return Detections(
-            boxes=bx[sel],
-            scores=jnp.where(keep_valid, sc[sel], 0.0),
-            classes=cl[sel].astype(jnp.int32),
-            valid=keep_valid,
-        )
-
-    return jax.vmap(one)(boxes, scores, classes)
+    keep_idx, keep_valid = batched_nms_batched(
+        boxes, scores, classes, nms_threshold, max_detections
+    )
+    sel = jnp.clip(keep_idx, 0)
+    return Detections(
+        boxes=jnp.take_along_axis(boxes, sel[..., None], axis=1),
+        scores=jnp.where(
+            keep_valid, jnp.take_along_axis(scores, sel, axis=1), 0.0
+        ),
+        classes=jnp.take_along_axis(classes, sel, axis=1).astype(jnp.int32),
+        valid=keep_valid,
+    )
 
 
 @META_ARCH_REGISTRY.register(name="MaskRCNN")

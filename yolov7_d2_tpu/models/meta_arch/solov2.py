@@ -132,11 +132,12 @@ class SOLOv2(nn.Module):
             out_features=("res2", "res3", "res4", "res5"),
             dtype=self.dtype, name="backbone",
         )(x, train)
-        pyramid = FPN(out_channels=256, add_p6=True, dtype=self.dtype,
+        pyramid = FPN(out_channels=256, top_block="maxpool", dtype=self.dtype,
                       name="fpn")(
             [feats["res2"], feats["res3"], feats["res4"], feats["res5"]],
             train,
-        )  # P2..P6
+        )  # {p2..p6}
+        pyramid = [pyramid[f"p{i}"] for i in range(2, 7)]
         ins_head = SOLOv2InsHead(
             num_classes=self.num_classes, num_kernels=self.num_kernels,
             channels=self.instance_channels,

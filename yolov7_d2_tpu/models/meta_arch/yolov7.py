@@ -33,7 +33,7 @@ from yolov7_d2_tpu.models.heads.anchor_yolo_head import (
 )
 from yolov7_d2_tpu.models.necks.yolo_fpn import YOLOFPN
 from yolov7_d2_tpu.models.necks.yolo_pafpn import YOLOPAFPN
-from yolov7_d2_tpu.ops.nms import batched_nms
+from yolov7_d2_tpu.ops.nms import batched_nms_batched
 from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
 from yolov7_d2_tpu.structures.instances import Detections
 
@@ -180,17 +180,18 @@ def anchor_yolo_postprocess(
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
 
-    def _one(b, s, c):
-        keep_idx, keep_valid = batched_nms(b, s, c, nms_threshold, max_detections)
-        sel = jnp.clip(keep_idx, 0)
-        return Detections(
-            boxes=b[sel],
-            scores=jnp.where(keep_valid, s[sel], 0.0),
-            classes=c[sel].astype(jnp.int32),
-            valid=keep_valid,
-        )
-
-    return jax.vmap(_one)(top_boxes, top_scores, top_cls)
+    keep_idx, keep_valid = batched_nms_batched(
+        top_boxes, top_scores, top_cls, nms_threshold, max_detections
+    )
+    sel = jnp.clip(keep_idx, 0)
+    return Detections(
+        boxes=jnp.take_along_axis(top_boxes, sel[..., None], axis=1),
+        scores=jnp.where(
+            keep_valid, jnp.take_along_axis(top_scores, sel, axis=1), 0.0
+        ),
+        classes=jnp.take_along_axis(top_cls, sel, axis=1).astype(jnp.int32),
+        valid=keep_valid,
+    )
 
 
 def _anchors_from_cfg(cfg) -> Tuple:

@@ -243,7 +243,7 @@ def yolox_kpts_postprocess(
 ):
     """Decode boxes + keypoints, NMS, return Detections with keypoints
     (the counterpart of postprocess_yolox_kpts, utils/boxes.py:240-306)."""
-    from yolov7_d2_tpu.ops.nms import batched_nms
+    from yolov7_d2_tpu.ops.nms import batched_nms_batched
 
     outputs = head_out["outputs"]
     grids, strides = head_out["grids"], head_out["strides"]
@@ -266,20 +266,21 @@ def yolox_kpts_postprocess(
 
     from yolov7_d2_tpu.structures.instances import Detections
 
-    def _one(b, s, c, k):
-        keep_idx, keep_valid = batched_nms(b, s, c, nms_threshold, max_detections)
-        sel = jnp.clip(keep_idx, 0)
-        kk = k[sel]
-        kk = kk.at[..., 2].set(jax.nn.sigmoid(kk[..., 2]))  # vis -> score
-        return Detections(
-            boxes=b[sel],
-            scores=jnp.where(keep_valid, s[sel], 0.0),
-            classes=c[sel].astype(jnp.int32),
-            valid=keep_valid,
-            keypoints=kk,
-        )
-
-    return jax.vmap(_one)(top_boxes, top_scores, top_cls, top_kpts)
+    keep_idx, keep_valid = batched_nms_batched(
+        top_boxes, top_scores, top_cls, nms_threshold, max_detections
+    )
+    sel = jnp.clip(keep_idx, 0)  # [B, M]
+    kk = jnp.take_along_axis(top_kpts, sel[..., None, None], axis=1)
+    kk = kk.at[..., 2].set(jax.nn.sigmoid(kk[..., 2]))  # vis -> score
+    return Detections(
+        boxes=jnp.take_along_axis(top_boxes, sel[..., None], axis=1),
+        scores=jnp.where(
+            keep_valid, jnp.take_along_axis(top_scores, sel, axis=1), 0.0
+        ),
+        classes=jnp.take_along_axis(top_cls, sel, axis=1).astype(jnp.int32),
+        valid=keep_valid,
+        keypoints=kk,
+    )
 
 
 @META_ARCH_REGISTRY.register(name="YOLOX_KPTS")

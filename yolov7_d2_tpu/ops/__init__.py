@@ -17,10 +17,12 @@ from yolov7_d2_tpu.ops.losses import (  # noqa: F401
 )
 from yolov7_d2_tpu.ops.nms import (  # noqa: F401
     batched_nms,
+    batched_nms_batched,
     cluster_nms,
     generalized_batched_nms,
     matrix_nms_masks,
     nms,
+    nms_batched,
     soft_nms,
     weighted_boxes_fusion,
 )

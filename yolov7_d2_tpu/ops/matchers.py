@@ -38,8 +38,13 @@ def auction_lap(
     row_of_col [C] int32 with -1 for free columns).
     """
     R, C = benefit.shape
-    # invalid columns get -inf benefit; invalid rows never bid
-    b = jnp.where(col_valid[None, :], benefit, NEG)
+    # invalid columns get -inf benefit; invalid rows never bid.
+    # optimization_barrier: materialize the benefit matrix before the loop —
+    # otherwise XLA can refuse its (cls/L1/GIoU cost) computation into every
+    # auction iteration (same pathology measured at 26x in ops/nms.py).
+    b = jax.lax.optimization_barrier(
+        jnp.where(col_valid[None, :], benefit, NEG)
+    )
     # deterministic tie-breaking: tiny per-row priority
     tie = jnp.arange(R, dtype=jnp.float32)[:, None] * (eps * 1e-3)
 
