@@ -1,5 +1,7 @@
 """Train-step timing + profiler trace on the real chip (YOLOX-s 640 bs128)."""
-import sys, time
+import os, sys, time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp
 
 from yolov7_d2_tpu.config import get_cfg

