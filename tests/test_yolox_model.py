@@ -221,3 +221,48 @@ def test_simota_prefilter_matches_full():
         rtol=1e-6,
     )
     assert float(full["num_fg"]) == float(pre["num_fg"])
+
+
+def test_yolox_losses_prefilter_matches_full():
+    """Batch-level prefilter losses == full-anchor losses (and their grads)
+    when K covers all candidates."""
+    from yolov7_d2_tpu.models.heads.yolox_head import yolox_losses
+
+    # 12x12 grid @ stride 8 (96px input): the 2.5-stride center radius
+    # yields ~5x5 candidates per gt, well under K=64.
+    n = 12
+    yy, xx = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+    grids = jnp.stack([xx, yy], axis=-1).reshape(-1, 2).astype(jnp.float32)
+    strides = jnp.full((n * n,), 8.0)
+    A, C, G, B = n * n, 3, 4, 2
+    rng = jax.random.PRNGKey(3)
+    outputs = jax.random.normal(rng, (B, A, 5 + C)) * 0.5
+    head_out = {"outputs": outputs, "grids": grids, "strides": strides}
+    gt_boxes = jnp.tile(
+        jnp.array([[0.0, 0.0, 10.0, 10.0], [6.0, 6.0, 30.0, 30.0],
+                   [0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]])[None],
+        (B, 1, 1),
+    )
+    gt_classes = jnp.zeros((B, G), jnp.int32).at[:, 1].set(2)
+    gt_valid = jnp.zeros((B, G), bool).at[:, 0].set(True).at[:, 1].set(True)
+
+    def run(k):
+        def f(out):
+            losses = yolox_losses(
+                {"outputs": out, "grids": grids, "strides": strides},
+                gt_boxes, gt_classes, gt_valid, C,
+                use_l1=True, prefilter_topk=k,
+            )
+            return losses["total_loss"], losses
+        (total, losses), grad = jax.value_and_grad(f, has_aux=True)(outputs)
+        return losses, grad
+
+    full, g_full = run(None)
+    pre, g_pre = run(64)
+    for key in ("loss_iou", "loss_obj", "loss_cls", "loss_l1", "num_fg"):
+        np.testing.assert_allclose(
+            float(full[key]), float(pre[key]), rtol=1e-5, err_msg=key
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_full), np.asarray(g_pre), rtol=1e-4, atol=1e-6
+    )
