@@ -153,16 +153,68 @@ def test_backbone_registry_builders():
 
 
 def test_dla34():
-    from yolov7_d2_tpu.models.backbones.dla import DLA, DLAUp
+    from yolov7_d2_tpu.models.backbones.dla import DLA
     out = _run(DLA(depth=34))
     assert out["level3"].shape == (1, 8, 8, 128)
     assert out["level4"].shape == (1, 4, 4, 256)
     assert out["level5"].shape == (1, 2, 2, 512)
-    up = DLAUp(channels=32)
-    feats = [out["level3"], out["level4"], out["level5"]]
+
+
+def test_dla60_bottleneck():
+    from yolov7_d2_tpu.models.backbones.dla import DLA
+    out = _run(DLA(depth=60))
+    assert out["level3"].shape == (1, 8, 8, 256)
+    assert out["level5"].shape == (1, 2, 2, 1024)
+
+
+def test_dlaup_pyramid():
+    """DLAUp channel/scale bookkeeping matches reference DLAUp:336 —
+    shallowest-first outputs, each at its own level's channel count."""
+    from yolov7_d2_tpu.models.backbones.dla import DLAUp
+    chans = [64, 128, 256, 512]
+    feats = [
+        jnp.zeros((1, 16 // (2 ** i), 16 // (2 ** i), c))
+        for i, c in enumerate(chans)
+    ]
+    up = DLAUp(0, chans, [1, 2, 4, 8])
     v = up.init(jax.random.PRNGKey(0), feats)
     outs = up.apply(v, feats)
-    assert outs[0].shape == (1, 8, 8, 32)
+    assert len(outs) == 4
+    assert outs[0].shape == (1, 16, 16, 64)   # fully merged, stride 4
+    assert outs[-1].shape == (1, 2, 2, 512)   # untouched deepest
+
+
+def test_bilinear_up_matches_resize_at_init():
+    """bilinear-initialized depthwise lhs-dilated conv == the torch
+    grouped ConvTranspose2d(k=2f, s=f, p=f//2) it mirrors (checked
+    against torch on the same input)."""
+    import torch
+    from yolov7_d2_tpu.models.backbones.dla import BilinearUp, _bilinear_kernel
+
+    x = np.random.RandomState(0).rand(1, 5, 7, 3).astype(np.float32)
+    m = BilinearUp(3, 2)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(m.apply(v, jnp.asarray(x)))
+
+    t = torch.nn.ConvTranspose2d(3, 3, 4, stride=2, padding=1, groups=3,
+                                 bias=False)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(
+            np.tile(_bilinear_kernel(4)[None, None], (3, 1, 1, 1))
+        ))
+        ref = t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dlaseg_modes():
+    from yolov7_d2_tpu.models.backbones.dla import DLASeg
+    out = _run(DLASeg(num_layers=34, out_features=("dla0", "dla1", "dla2")))
+    assert out["dla0"].shape == (1, 16, 16, 64)  # stride 4, merged
+    out = _run(DLASeg(num_layers=34, ms_output=True,
+                      out_features=("dla2", "dla3", "dla4", "dla5")))
+    assert out["dla2"].shape == (1, 16, 16, 64)
+    assert out["dla5"].shape == (1, 2, 2, 512)
 
 
 def test_fbnet():
@@ -177,3 +229,24 @@ def test_mobilevit():
     from yolov7_d2_tpu.models.backbones.mobile import MobileViT
     out = _run(MobileViT(), size=128)
     assert set(out) == {"stage2", "stage3", "stage4"}
+
+
+def test_fbnet_v3_arch_table_parity():
+    """All 13 reference fbnet_v3.py arch tables resolve and run (incl. the
+    no_se quantization variants, fbnet_v3.py:298-370)."""
+    from yolov7_d2_tpu.models.backbones.mobile import FBNET_ARCH, FBNet
+
+    expected = {
+        "FBNetV3_A", "FBNetV3_B", "FBNetV3_C", "FBNetV3_D", "FBNetV3_E",
+        "FBNetV3_F", "FBNetV3_G", "FBNetV3_H", "FBNetV3_A_dsmask",
+        "FBNetV3_A_dsmask_tiny", "FBNetV3_A_no_se", "FBNetV3_B_no_se",
+        "FBNetV3_B_light_no_se",
+    }
+    assert expected <= set(FBNET_ARCH)
+    # no _se ops survive in the no_se tables
+    for name in ("FBNetV3_A_no_se", "FBNetV3_B_no_se",
+                 "FBNetV3_B_light_no_se"):
+        ops = [b[0] for stage in FBNET_ARCH[name] for b in stage]
+        assert not any(op.endswith("_se") for op in ops), name
+    out = _run(FBNet(arch="FBNetV3_B_light_no_se"))
+    assert set(out) == {"trunk2", "trunk3", "trunk4"}

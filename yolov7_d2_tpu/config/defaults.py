@@ -50,6 +50,14 @@ def get_cfg() -> CfgNode:
     _C.MODEL.BACKBONE.OUT_FEATURES = ["stride8", "stride16", "stride32"]
     _C.MODEL.BACKBONE.SIMPLE = False
     _C.MODEL.BACKBONE.STRIDE = 1
+
+    # DLA / DLASeg (reference dla.py:430 build_dla_backbone cfg surface)
+    _C.MODEL.DLA = CfgNode()
+    _C.MODEL.DLA.NUM_LAYERS = 34
+    _C.MODEL.DLA.OUT_FEATURES = ["dla2"]
+    _C.MODEL.DLA.USE_DLA_UP = True
+    _C.MODEL.DLA.MS_OUTPUT = False
+    _C.MODEL.DLA.NORM = "BN"
     _C.MODEL.BACKBONE.CHANNEL = 0
     _C.MODEL.BACKBONE.ANTI_ALIAS = False
 

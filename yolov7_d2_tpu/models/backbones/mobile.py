@@ -212,7 +212,26 @@ FBNET_ARCH = {
         [("ir_k3_se", 400, 2, 1, 6), ("ir_k5_se", 400, 1, 8, 5),
          ("ir_k5_se", 480, 1, 3, 6)],
     ],
+    # quantization-friendly variant (reference fbnet_v3.py:347): B with a
+    # shorter stage-2/3 schedule and no SE anywhere
+    "FBNetV3_B_light_no_se": [
+        [("conv_k3", 16, 2, 1, 1), ("ir_k3", 16, 1, 2, 1)],
+        [("ir_k5", 24, 2, 1, 4), ("ir_k5", 24, 1, 2, 2)],
+        [("ir_k5", 40, 2, 1, 5), ("ir_k5", 40, 1, 3, 3)],
+        [("ir_k5", 72, 2, 1, 5), ("ir_k3", 72, 1, 4, 3),
+         ("ir_k3", 120, 1, 1, 5), ("ir_k5", 120, 1, 5, 3)],
+        [("ir_k3", 184, 2, 1, 6), ("ir_k5", 184, 1, 5, 4),
+         ("ir_k5", 224, 1, 1, 6)],
+    ],
 }
+
+# SE-free variants (reference fbnet_v3.py:298,322 — "SE is not
+# quantization friendly"): identical stage tables with the _se ops demoted
+for _src in ("FBNetV3_A", "FBNetV3_B"):
+    FBNET_ARCH[f"{_src}_no_se"] = [
+        [(op.replace("_se", ""), c, s, n, e) for (op, c, s, n, e) in stage]
+        for stage in FBNET_ARCH[_src]
+    ]
 
 
 def resolve_fbnet_arch(name: str) -> Tuple[str, Tuple[str, ...]]:

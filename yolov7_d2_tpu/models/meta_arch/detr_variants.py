@@ -12,7 +12,14 @@ Parity targets:
     level (smcadetr_backbone.py:66-81 — one (h, w) grid, one memory) with
     dynamic_scale='type3' (meta_arch/smca_detr.py:78): per-head (sx, sy)
     gaussian scales. Our per-head (cx, cy, sx, sy) prediction is exactly
-    the type3 formulation.
+    the type3 formulation. The reference DOES build a multi-level
+    input_proj ModuleList when NUM_FEATURE_LEVELS > 1
+    (meta_arch/smca_detr.py:431-447) but its forward consumes only the
+    last level — ``src, mask = features[-1].decompose(); ...
+    transformer(self.input_proj(src), mask, ..., pos[-1], h_w)``
+    (meta_arch/smca_detr.py:491-496) — so the executed reference model is
+    single-scale and this module matches it; the extra projections are
+    dead parameters we intentionally do not replicate.
   * ``DABDetr`` — meta_arch/dab_detr.py:34 (dynamic anchor boxes refined per
     decoder layer; the reference reuses detr_backbone's Transformer — we make
     the box refinement explicit).

@@ -10,7 +10,8 @@ inside its box.
 
 TPU redesign: the mask-recovery test (pixel + vector inside box?) is one
 broadcasted comparison per detection — [D, H/4, W/4] boolean tensor ops, no
-per-instance loops.
+per-instance loops. The orientation head consumes the detector's own neck
+pyramid (P3/P4/P5), matching the reference's shared-FPN layout.
 """
 
 from __future__ import annotations
@@ -74,23 +75,16 @@ class YOLOMask(nn.Module):
     def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
         det = AnchorYOLO(
             num_classes=self.num_classes, backbone_type="cspdarknet53",
-            neck_type="pafpn", act="silu", dtype=self.dtype, name="detector",
+            neck_type="pafpn", act="silu", return_pyramid=True,
+            dtype=self.dtype, name="detector",
         )
         flat = det(images, train)
-        # re-derive pyramid for the orien head by reusing the detector's
-        # neck output is not directly exposed; recompute light features
-        # from the flattened map is impossible — so OrienHead consumes the
-        # detector's per-level towers via a second lightweight pyramid.
-        # Simpler and faithful: run the orien head on conv projections of
-        # the image at matching strides.
-        x = images.astype(self.dtype)
-        s8 = BaseConv(64, 3, 2, dtype=self.dtype, name="os2")(x, train)
-        s8 = BaseConv(64, 3, 2, dtype=self.dtype, name="os4")(s8, train)
-        s8 = BaseConv(64, 3, 2, dtype=self.dtype, name="os8")(s8, train)
-        s16 = BaseConv(64, 3, 2, dtype=self.dtype, name="os16")(s8, train)
-        s32 = BaseConv(64, 3, 2, dtype=self.dtype, name="os32")(s16, train)
+        # OrienHead taps the DETECTOR'S OWN neck pyramid (P3/P4/P5), as the
+        # reference does (yolomask.py:52 feeds the YOLO FPN levels into
+        # OrienHead:334) — shared features, no parallel stem.
+        pyramid = flat.pop("pyramid")
         orien = OrienHead(self.up_channels, dtype=self.dtype, name="orien")(
-            [s8, s16, s32], train
+            list(pyramid), train
         )
         flat["orien"] = orien   # [B, H/4, W/4, 2]
         return flat

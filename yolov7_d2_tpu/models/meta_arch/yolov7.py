@@ -66,6 +66,10 @@ class AnchorYOLO(nn.Module):
     head_style: str = "tower"  # tower | direct
     pixel_mean: Optional[Tuple[float, float, float]] = None
     pixel_std: Optional[Tuple[float, float, float]] = None
+    # expose the neck pyramid in the output dict (key "pyramid") so mask
+    # heads can tap the detector FPN (reference yolomask.py OrienHead
+    # consumes the detector's own neck levels)
+    return_pyramid: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -126,6 +130,8 @@ class AnchorYOLO(nn.Module):
         flat["level_hw"] = tuple(
             (o.shape[1], o.shape[2]) for o in level_outputs
         )
+        if self.return_pyramid:
+            flat["pyramid"] = tuple(neck_out)
         return flat
 
 
