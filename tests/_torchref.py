@@ -119,6 +119,17 @@ def install_stubs() -> None:
     env = _stub("detectron2.utils.env")
     comm = _stub("detectron2.utils.comm")
 
+    class _PathManager:
+        @staticmethod
+        def open(path, mode="r", **kw):
+            return open(path, mode, **kw)
+
+        @staticmethod
+        def exists(path):
+            return os.path.exists(path)
+
+    _stub("detectron2.utils.file_io").PathManager = _PathManager
+
     @dataclass
     class ShapeSpec:
         channels: int | None = None
@@ -184,6 +195,7 @@ def install_stubs() -> None:
     bn_mod.FrozenBatchNorm2d = FrozenBatchNorm2d
     mb.Backbone = Backbone
     mb.build = mbuild
+    mb.BACKBONE_REGISTRY = _Registry()
     mbuild.BACKBONE_REGISTRY = _Registry()
     modeling.backbone = mb
     modeling.BACKBONE_REGISTRY = _Registry()

@@ -207,3 +207,34 @@ def test_sine_position_embedding_parity():
         ours, ref[0].transpose(1, 2, 0), rtol=1e-5, atol=1e-5,
         err_msg="sine PE diverges (interleave/normalize mismatch)",
     )
+
+
+def test_darknet53_activation_parity():
+    """Reference Darknet-53 (darknet.py:112, the YOLOv3/v7 trunk) vs our
+    Darknet53 through map_darknet_torch_name — per-stage activations."""
+    from yolov7_d2_tpu.models.backbones.darknet import Darknet53
+    from yolov7_d2_tpu.utils.weight_port import map_darknet_torch_name
+
+    dk = ref_module("yolov7.modeling.backbone.darknet")
+    tm = dk.Darknet(53, out_features=["dark3", "dark4", "dark5"]).eval()
+    _randomize(tm, seed=3)
+
+    fm = Darknet53(out_features=("dark3", "dark4", "dark5"))
+    x = np.random.default_rng(3).uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    variables = fm.init(
+        jax.random.PRNGKey(0), jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    ported, report = port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=map_darknet_torch_name
+    )
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for k in ("dark3", "dark4", "dark5"):
+        np.testing.assert_allclose(
+            np.asarray(ours[k]).transpose(0, 3, 1, 2),
+            ref[k].numpy(),
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )

@@ -9,7 +9,11 @@ inference (forward + decode + NMS where applicable) on the current device.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -49,6 +53,19 @@ def main():
                 conf_threshold=cfg.MODEL.YOLO.CONF_THRESHOLD,
                 nms_threshold=cfg.MODEL.YOLO.NMS_THRESHOLD,
             ).scores
+    elif args.with_postprocess and cfg.MODEL.META_ARCHITECTURE == "SparseInst":
+        from yolov7_d2_tpu.models.meta_arch.sparseinst import (
+            sparseinst_postprocess,
+        )
+
+        def fn(v, x):
+            dets = sparseinst_postprocess(
+                model.apply(v, x, train=False),
+                cls_threshold=cfg.MODEL.SPARSE_INST.CLS_THRESHOLD,
+                mask_threshold=cfg.MODEL.SPARSE_INST.MASK_THRESHOLD,
+                max_detections=cfg.MODEL.SPARSE_INST.MAX_DETECTIONS,
+            )
+            return dets.scores
     else:
         def fn(v, x):
             out = model.apply(v, x, train=False)

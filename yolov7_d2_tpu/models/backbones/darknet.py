@@ -22,13 +22,16 @@ class DarkResidual(nn.Module):
 
     channels: int
     act: str = "lrelu"
+    bn_eps: float = 1e-5  # reference darknet.py uses torch-default BN eps
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = BaseConv(self.channels // 2, 1, 1, act=self.act, dtype=self.dtype,
+        y = BaseConv(self.channels // 2, 1, 1, act=self.act,
+                     bn_eps=self.bn_eps, dtype=self.dtype,
                      name="conv1")(x, train)
-        y = BaseConv(self.channels, 3, 1, act=self.act, dtype=self.dtype,
+        y = BaseConv(self.channels, 3, 1, act=self.act,
+                     bn_eps=self.bn_eps, dtype=self.dtype,
                      name="conv2")(y, train)
         return x + y
 
@@ -43,16 +46,20 @@ class Darknet53(nn.Module):
     # residual blocks per stage (Darknet-53 plan)
     stage_blocks: Sequence[int] = (1, 2, 8, 8, 4)
 
+    # reference darknet.py builds plain torch BatchNorm2d (eps 1e-5); the
+    # CSP variant keeps the YOLO-family 1e-3 convention
+    bn_eps: float = 1e-5
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         c = self.stem_out_channels
-        x = BaseConv(c, 3, 1, act=self.act, dtype=self.dtype, name="stem")(
-            x, train
-        )
+        x = BaseConv(c, 3, 1, act=self.act, bn_eps=self.bn_eps,
+                     dtype=self.dtype, name="stem")(x, train)
         outputs: Dict[str, jnp.ndarray] = {}
         for i, nblocks in enumerate(self.stage_blocks):
             c *= 2
-            x = BaseConv(c, 3, 2, act=self.act, dtype=self.dtype,
+            x = BaseConv(c, 3, 2, act=self.act, bn_eps=self.bn_eps,
+                         dtype=self.dtype,
                          name=f"stage{i + 1}_down")(x, train)
             if self.with_csp:
                 x = CSPLayer(
@@ -62,7 +69,7 @@ class Darknet53(nn.Module):
             else:
                 for j in range(nblocks):
                     x = DarkResidual(
-                        c, act=self.act, dtype=self.dtype,
+                        c, act=self.act, bn_eps=self.bn_eps, dtype=self.dtype,
                         name=f"stage{i + 1}_res{j}",
                     )(x, train)
             outputs[f"dark{i + 1}"] = x

@@ -46,6 +46,9 @@ class BaseConv(nn.Module):
     stride: int = 1
     groups: int = 1
     act: str = "silu"
+    # YOLOX BN convention by default; plain-torch modules (reference
+    # darknet.py conv_bn_lrelu) use eps=1e-5 — pass it for exact parity
+    bn_eps: float = BN_EPS
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,7 +74,7 @@ class BaseConv(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
+            epsilon=self.bn_eps,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="bn",

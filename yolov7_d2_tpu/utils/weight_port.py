@@ -99,6 +99,24 @@ def map_yolox_torch_name(name: str) -> Tuple[str, ...]:
     return tuple(name.replace(".", "/").split("/"))
 
 
+def map_darknet_torch_name(name: str) -> Tuple[str, ...]:
+    """Translate reference Darknet-53 state-dict keys (darknet.py:112 —
+    ``stem.conv``, ``dark{i}.0`` down conv, ``dark{i}.{j}.layer{1,2}``
+    ResLayer convs) into our flax paths (``stem``, ``stage{i}_down``,
+    ``stage{i}_res{j-1}/conv{1,2}``)."""
+    m = re.match(r"^stem\.(conv|bn)$", name)
+    if m:
+        return ("stem", m.group(1))
+    m = re.match(r"^dark(\d)\.0\.(conv|bn)$", name)
+    if m:
+        return (f"stage{m.group(1)}_down", m.group(2))
+    m = re.match(r"^dark(\d)\.(\d+)\.layer(\d)\.(conv|bn)$", name)
+    if m:
+        lvl, j, k, leaf = m.groups()
+        return (f"stage{lvl}_res{int(j) - 1}", f"conv{k}", leaf)
+    return tuple(name.replace(".", "/").split("/"))
+
+
 def map_d2_resnet_name(name: str) -> Tuple[str, ...]:
     """Translate detectron2-style ResNet state-dict keys (the SparseInst /
     DETR backbone checkpoints) into our flax paths.
