@@ -52,6 +52,13 @@ def install_stubs() -> None:
     om = _stub("omegaconf")
     om.base = types.SimpleNamespace()
 
+    # ---- alfred (logger used by yolov7.utils.checkpoint)
+    class _AlfredLogger:
+        def __getattr__(self, k):
+            return lambda *a, **kw: None
+
+    _stub("alfred").logger = _AlfredLogger()
+
     # ---- loguru
     class _Logger:
         def __getattr__(self, k):
@@ -200,6 +207,8 @@ def install_stubs() -> None:
     modeling.backbone = mb
     modeling.BACKBONE_REGISTRY = _Registry()
     modeling.META_ARCH_REGISTRY = _Registry()
+    modeling.RPN_HEAD_REGISTRY = _Registry()
+    modeling.Backbone = Backbone
     env.TORCH_VERSION = (2, 99)
     comm.get_world_size = lambda: 1
     comm.is_main_process = lambda: True

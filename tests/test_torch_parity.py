@@ -238,3 +238,45 @@ def test_darknet53_activation_parity():
             ref[k].numpy(),
             rtol=2e-4, atol=2e-5, err_msg=k,
         )
+
+
+def test_efficientrep_activation_parity():
+    """Reference EfficientRep (efficientrep.py:362, the YOLOv6 trunk:
+    RepVGG 3-branch blocks + SimSPPF) vs ours through
+    map_efficientrep_torch_name."""
+    from yolov7_d2_tpu.models.backbones.efficientrep import EfficientRep
+    from yolov7_d2_tpu.utils.weight_port import map_efficientrep_torch_name
+
+    er = ref_module("yolov7.modeling.backbone.efficientrep")
+    width, depth = 0.25, 0.34
+    chs_plan = (64, 128, 256, 512, 1024)
+    reps_plan = (1, 6, 12, 18, 6)
+    chs = [max(int(c * width), 8) for c in chs_plan]
+    reps = [max(int(round(r * depth)), 1) for r in reps_plan]
+    tm = er.EfficientRep(
+        channels_list=chs, num_repeats=reps,
+        out_features=["stride8", "stride16", "stride32"],
+    ).eval()
+    _randomize(tm, seed=5)
+
+    fm = EfficientRep(width_mul=width, depth_mul=depth)
+    x = np.random.default_rng(5).uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    variables = fm.init(
+        jax.random.PRNGKey(0), jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    ported, report = port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=map_efficientrep_torch_name
+    )
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(x))
+    ref = {"erep3": feats["stride8"], "erep4": feats["stride16"],
+           "erep5": feats["stride32"]}
+    ours = fm.apply(ported, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for k in ("erep3", "erep4", "erep5"):
+        np.testing.assert_allclose(
+            np.asarray(ours[k]).transpose(0, 3, 1, 2),
+            ref[k].numpy(),
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )

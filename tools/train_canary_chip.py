@@ -14,8 +14,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from yolov7_d2_tpu.config import get_cfg
-from yolov7_d2_tpu.engine import build_system, dummy_batch
+from yolov7_d2_tpu.engine import build_system
 
 config = sys.argv[1]
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -28,13 +30,32 @@ cfg.merge_from_list([
     "INPUT.INPUT_SIZE", f"[{size},{size}]", "SOLVER.AMP.ENABLED", "True",
 ])
 
-model, state, train_step, eval_step = build_system(cfg, batch_size=2)
-b = dummy_batch(cfg, batch_size=batch)
-# put a couple of learnable boxes in the batch
-b["gt_boxes"] = b["gt_boxes"].at[:, 1].set(
-    jnp.asarray([size * 0.3, size * 0.3, size * 0.7, size * 0.7])
-)
-b["gt_valid"] = b["gt_valid"].at[:, 1].set(True)
+model, state, train_step, fields = build_system(cfg, batch_size=2)
+g = 16
+b = {
+    "image": jnp.full((batch, size, size, 3), 114.0, jnp.float32),
+    "gt_boxes": jnp.zeros((batch, g, 4))
+    .at[:, 0].set(jnp.asarray([10.0, 10.0, 50.0, 50.0]))
+    .at[:, 1].set(
+        jnp.asarray([size * 0.3, size * 0.3, size * 0.7, size * 0.7])
+    ),
+    "gt_classes": jnp.zeros((batch, g), jnp.int32).at[:, 1].set(1),
+    "gt_valid": jnp.zeros((batch, g), bool).at[:, 0].set(True)
+    .at[:, 1].set(True),
+}
+if "gt_masks" in fields:
+    m = np.zeros((batch, g, size, size), np.float32)
+    m[:, 0, 10:50, 10:50] = 1.0
+    q = int(size * 0.3), int(size * 0.7)
+    m[:, 1, q[0]:q[1], q[0]:q[1]] = 1.0
+    b["gt_masks"] = jnp.asarray(m)
+if "gt_keypoints" in fields:
+    k = np.zeros((batch, g, cfg.MODEL.YOLO.KEYPOINTS_NUM, 3), np.float32)
+    k[:, 0, :, 0] = 30.0
+    k[:, 0, :, 1] = 30.0
+    k[:, 0, :5, 2] = 2.0
+    b["gt_keypoints"] = jnp.asarray(k)
+b = {k: v for k, v in b.items() if k in fields}
 step = jax.jit(train_step, donate_argnums=(0,))
 
 t0 = time.perf_counter()

@@ -25,7 +25,7 @@ class RepBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.n):
-            x = RepVGGBlock(self.channels, 1, dtype=self.dtype,
+            x = RepVGGBlock(self.channels, 1, bn_eps=1e-5, dtype=self.dtype,
                             name=f"rep_{i}")(x, train)
         return x
 
@@ -43,15 +43,15 @@ class EfficientRep(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         chs = [max(int(c * self.width_mul), 8) for c in self.channels_plan]
         reps = [max(int(round(r * self.depth_mul)), 1) for r in self.repeats_plan]
-        x = RepVGGBlock(chs[0], 2, dtype=self.dtype, name="stem")(x, train)
+        x = RepVGGBlock(chs[0], 2, bn_eps=1e-5, dtype=self.dtype, name="stem")(x, train)
         outputs: Dict[str, jnp.ndarray] = {}
         for i in range(1, 5):
-            x = RepVGGBlock(chs[i], 2, dtype=self.dtype,
+            x = RepVGGBlock(chs[i], 2, bn_eps=1e-5, dtype=self.dtype,
                             name=f"down{i + 1}")(x, train)
             x = RepBlock(chs[i], reps[i], dtype=self.dtype,
                          name=f"stage{i + 1}")(x, train)
             if i == 4:
-                x = SPPBottleneck(chs[i], act="relu", dtype=self.dtype,
+                x = SPPBottleneck(chs[i], act="relu", bn_eps=1e-5, dtype=self.dtype,
                                   name="sppf")(x, train)
             outputs[f"erep{i + 1}"] = x
         return {k: v for k, v in outputs.items() if k in self.out_features}

@@ -135,12 +135,14 @@ class SPPBottleneck(nn.Module):
     out_channels: int
     kernel_sizes: Sequence[int] = (5, 9, 13)
     act: str = "silu"
+    bn_eps: float = BN_EPS
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = x.shape[-1] // 2
-        x = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+        x = BaseConv(hidden, 1, 1, act=self.act, bn_eps=self.bn_eps,
+                     dtype=self.dtype, name="conv1")(
             x, train
         )
         # Cascaded-pool identity (YOLOv5 "SPPF"): stride-1 maxpools compose,
@@ -174,7 +176,8 @@ class SPPBottleneck(nn.Module):
                 )
         x = jnp.concatenate(pools, axis=-1)
         return BaseConv(
-            self.out_channels, 1, 1, act=self.act, dtype=self.dtype, name="conv2"
+            self.out_channels, 1, 1, act=self.act, bn_eps=self.bn_eps,
+            dtype=self.dtype, name="conv2"
         )(x, train)
 
 
@@ -259,6 +262,8 @@ class RepVGGBlock(nn.Module):
     out_channels: int
     stride: int = 1
     act: str = "relu"
+    # reference efficientrep.py builds plain nn.BatchNorm2d (eps 1e-5)
+    bn_eps: float = BN_EPS
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -271,7 +276,7 @@ class RepVGGBlock(nn.Module):
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
-            epsilon=BN_EPS, dtype=jnp.float32, name="rbr_dense_bn",
+            epsilon=self.bn_eps, dtype=jnp.float32, name="rbr_dense_bn",
         )(y)
         z = nn.Conv(
             self.out_channels, (1, 1), (self.stride, self.stride),
@@ -280,13 +285,13 @@ class RepVGGBlock(nn.Module):
         )(x)
         z = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
-            epsilon=BN_EPS, dtype=jnp.float32, name="rbr_1x1_bn",
+            epsilon=self.bn_eps, dtype=jnp.float32, name="rbr_1x1_bn",
         )(z)
         out = y + z
         if self.stride == 1 and in_ch == self.out_channels:
             idt = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
-                epsilon=BN_EPS, dtype=jnp.float32, name="rbr_identity_bn",
+                epsilon=self.bn_eps, dtype=jnp.float32, name="rbr_identity_bn",
             )(x)
             out = out + idt
         return get_activation(self.act)(out).astype(self.dtype)

@@ -117,6 +117,37 @@ def map_darknet_torch_name(name: str) -> Tuple[str, ...]:
     return tuple(name.replace(".", "/").split("/"))
 
 
+def map_efficientrep_torch_name(name: str) -> Tuple[str, ...]:
+    """Translate reference EfficientRep keys (efficientrep.py:362 —
+    ``stem``, ``ERBlock_{i}.0`` down RepVGG, ``ERBlock_{i}.1`` RepBlock
+    (conv1 + block.j), ``ERBlock_5.2`` SimSPPF cv1/cv2) into our paths
+    (``stem``, ``down{i}``, ``stage{i}/rep_{j}``, ``sppf/conv{1,2}``)."""
+
+    def rep_leaf(rest: str) -> str:
+        # rbr_dense.conv -> rbr_dense_conv ; rbr_identity -> rbr_identity_bn
+        if rest == "rbr_identity":
+            return "rbr_identity_bn"
+        return rest.replace(".", "_")
+
+    m = re.match(r"^stem\.(.*)$", name)
+    if m:
+        return ("stem", rep_leaf(m.group(1)))
+    m = re.match(r"^ERBlock_(\d)\.0\.(.*)$", name)
+    if m:
+        return (f"down{m.group(1)}", rep_leaf(m.group(2)))
+    m = re.match(r"^ERBlock_(\d)\.1\.conv1\.(.*)$", name)
+    if m:
+        return (f"stage{m.group(1)}", "rep_0", rep_leaf(m.group(2)))
+    m = re.match(r"^ERBlock_(\d)\.1\.block\.(\d+)\.(.*)$", name)
+    if m:
+        lvl, j, rest = m.groups()
+        return (f"stage{lvl}", f"rep_{int(j) + 1}", rep_leaf(rest))
+    m = re.match(r"^ERBlock_5\.2\.cv(\d)\.(conv|bn)$", name)
+    if m:
+        return ("sppf", f"conv{m.group(1)}", m.group(2))
+    return tuple(name.replace(".", "/").split("/"))
+
+
 def map_d2_resnet_name(name: str) -> Tuple[str, ...]:
     """Translate detectron2-style ResNet state-dict keys (the SparseInst /
     DETR backbone checkpoints) into our flax paths.
