@@ -62,3 +62,10 @@ def test_state_shardings_tp_shards_wide_kernels():
     placed = jax.device_put(tree, sh)
     s = jax.jit(lambda t: sum(jnp.sum(x) for x in t.values()))(placed)
     assert float(s) == 0.0
+
+
+def test_dryrun_multichip_16_devices():
+    """Pod-slice shape beyond the driver's 8: (8, 2) mesh, DP x TP."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(16)
