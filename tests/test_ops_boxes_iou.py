@@ -92,3 +92,31 @@ def test_area_and_clip():
     # degenerate box area clamps to 0
     d = jnp.array([[5.0, 5.0, 1.0, 1.0]])
     assert float(box_area(d)[0]) == 0.0
+
+
+def test_siou_finite_at_extreme_scales_and_alignments():
+    """arcsin-domain robustness: axis-aligned centers at large coordinate
+    magnitudes (where sqrt rounding can push |ch|/sigma past 1) and huge
+    exp-decoded early-training boxes must give finite loss AND gradients."""
+    import jax
+    from yolov7_d2_tpu.ops.iou import iou_loss
+
+    pred = jnp.asarray([
+        [0.0, 0.0, 1e4, 1e4],            # huge early-training box
+        [5000.0, 5000.0, 5008.0, 5008.0],  # large-magnitude coords
+        [100.0, 100.0, 140.0, 140.0],
+        [0.0, 0.0, 8.0, 8.0],
+    ])
+    tgt = jnp.asarray([
+        [10.0, 10.0, 50.0, 50.0],
+        [5000.0, 4000.0, 5008.0, 4008.0],  # purely vertical offset
+        [100.0, 900.0, 140.0, 940.0],      # s_cw ~ 0, s_ch large
+        [0.0, 0.0, 8.0, 8.0],              # identical boxes
+    ])
+
+    def total(p):
+        return jnp.sum(iou_loss(p, tgt, loss_type="siou"))
+
+    val, grad = jax.value_and_grad(total)(pred)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))

@@ -2,7 +2,7 @@
 steps, prints first/last loss. The chip-side counterpart of the CPU-mesh
 canary tests (reference parity: configs/canaries/* smoke runs).
 
-Usage: python tools/train_canary_chip.py <config> [steps] [batch] [size]
+Usage: python tools/train_canary_chip.py <config> [steps] [batch] [size] [CFG.KEY value ...]
 """
 
 import os
@@ -28,7 +28,7 @@ cfg = get_cfg()
 cfg.merge_from_file(config)
 cfg.merge_from_list([
     "INPUT.INPUT_SIZE", f"[{size},{size}]", "SOLVER.AMP.ENABLED", "True",
-])
+] + sys.argv[5:])
 
 model, state, train_step, fields = build_system(cfg, batch_size=2)
 g = 16

@@ -105,7 +105,12 @@ def decode_outputs(
     Returns (boxes_cxcywh [.., A, 4], obj_logits [.., A], cls_logits [.., A, C]).
     """
     xy = (outputs[..., 0:2] + grids) * strides[..., None]
-    wh = jnp.exp(outputs[..., 2:4]) * strides[..., None]
+    # clamp the exp argument: raw wh logits past ~11 (boxes > 65k px at
+    # stride 32) are always divergence, and the unbounded exp creates a
+    # gradient feedback loop (observed: YOLOv6 canary grad-norm 5e14 ->
+    # NaN by step 7). Identical decode for every sane value; zero grad
+    # past the clamp breaks the runaway.
+    wh = jnp.exp(jnp.clip(outputs[..., 2:4], max=11.09)) * strides[..., None]
     boxes = jnp.concatenate([xy, wh], axis=-1)
     return boxes, outputs[..., 4], outputs[..., 5:]
 

@@ -137,8 +137,13 @@ def iou_loss(
         s_cw = (tcx - pcx) + EPS
         s_ch = (tcy - pcy) + EPS
         sigma = jnp.sqrt(s_cw**2 + s_ch**2) + EPS
-        sin_alpha = jnp.abs(s_ch) / sigma
-        sin_beta = jnp.abs(s_cw) / sigma
+        # f32 rounding can give sqrt(cw^2+ch^2) < |ch| by ~1 ulp at large
+        # coordinate magnitudes (ulp(1e3) ~ 6e-5 dwarfs the 1e-9 eps), so
+        # the ratio can land just past 1 and arcsin returns NaN — clip to
+        # the closed interval (observed as train-loss NaN on the chip with
+        # YOLOv6's exp-decoded early-training boxes).
+        sin_alpha = jnp.clip(jnp.abs(s_ch) / sigma, 0.0, 1.0)
+        sin_beta = jnp.clip(jnp.abs(s_cw) / sigma, 0.0, 1.0)
         sin_alpha = jnp.where(sin_alpha > math.sqrt(0.5), sin_beta, sin_alpha)
         angle_cost = jnp.cos(2.0 * (jnp.arcsin(sin_alpha) - math.pi / 4.0))
         rho_x = (s_cw / (cw + EPS)) ** 2
