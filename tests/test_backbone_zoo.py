@@ -215,6 +215,12 @@ def test_dlaseg_modes():
                       out_features=("dla2", "dla3", "dla4", "dla5")))
     assert out["dla2"].shape == (1, 16, 16, 64)
     assert out["dla5"].shape == (1, 2, 2, 512)
+    # ms_output WITHOUT dla_up: the raw base levels dla0..dla5
+    # (reference :502-505 st=0 branch; regression: used to IndexError)
+    out = _run(DLASeg(num_layers=34, use_dla_up=False, ms_output=True,
+                      out_features=tuple(f"dla{i}" for i in range(6))))
+    assert out["dla0"].shape == (1, 64, 64, 16)
+    assert out["dla5"].shape == (1, 2, 2, 512)
 
 
 def test_fbnet():

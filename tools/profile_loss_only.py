@@ -7,7 +7,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp
 
 from yolov7_d2_tpu.config import get_cfg
-from yolov7_d2_tpu.engine import build_system, dummy_batch, make_yolox_loss_adapter
+from yolov7_d2_tpu.engine import build_system, dummy_batch
 
 BS = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 cfg = get_cfg()
@@ -16,7 +16,7 @@ cfg.MODEL.YOLO.WIDTH_MUL = 0.50
 cfg.INPUT.INPUT_SIZE = [640, 640]
 cfg.SOLVER.AMP.ENABLED = True
 
-model, state, train_step, eval_step = build_system(cfg, batch_size=2)
+model, state, train_step, _fields = build_system(cfg, batch_size=2)
 batch = dummy_batch(cfg, batch_size=BS)
 
 out = jax.jit(

@@ -14,7 +14,7 @@ cfg.MODEL.YOLO.WIDTH_MUL = 0.50
 cfg.INPUT.INPUT_SIZE = [640, 640]
 cfg.SOLVER.AMP.ENABLED = True
 
-model, state, train_step, eval_step = build_system(cfg, batch_size=2)
+model, state, train_step, _fields = build_system(cfg, batch_size=2)
 batch = dummy_batch(cfg, batch_size=BS)
 loss_fn = make_yolox_loss_adapter(cfg.MODEL.YOLO.CLASSES)
 

@@ -47,7 +47,8 @@ class Darknet53(nn.Module):
     stage_blocks: Sequence[int] = (1, 2, 8, 8, 4)
 
     # reference darknet.py builds plain torch BatchNorm2d (eps 1e-5); the
-    # CSP variant keeps the YOLO-family 1e-3 convention
+    # CSP variant (reference cspdarknet.py:59) uses eps 1e-4 — set by the
+    # builders so one model never mixes eps conventions
     bn_eps: float = 1e-5
 
     @nn.compact
@@ -63,8 +64,8 @@ class Darknet53(nn.Module):
                          name=f"stage{i + 1}_down")(x, train)
             if self.with_csp:
                 x = CSPLayer(
-                    c, n=nblocks, act=self.act, dtype=self.dtype,
-                    name=f"stage{i + 1}_csp",
+                    c, n=nblocks, act=self.act, bn_eps=self.bn_eps,
+                    dtype=self.dtype, name=f"stage{i + 1}_csp",
                 )(x, train)
             else:
                 for j in range(nblocks):
@@ -98,5 +99,6 @@ def build_cspdarknet_backbone(cfg, dtype=jnp.float32):
         out_features=tuple(cfg.MODEL.DARKNET.OUT_FEATURES),
         with_csp=True,
         act="silu",
+        bn_eps=1e-4,  # reference cspdarknet.py:59 get_norm(..., eps=1e-4)
         dtype=dtype,
     )

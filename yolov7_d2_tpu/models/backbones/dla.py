@@ -308,7 +308,6 @@ class DLAUp(nn.Module):
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
         layers = list(layers)
         channels = list(self.channels)
-        in_channels = list(self.channels)
         scales = np.array(self.scales, dtype=int)
         out = [layers[-1]]
         for i in range(len(layers) - self.startp - 1):
@@ -318,7 +317,6 @@ class DLAUp(nn.Module):
             layers = ida(layers, len(layers) - i - 2, len(layers), train)
             out.insert(0, layers[-1])
             scales[j + 1:] = scales[j]
-            in_channels[j + 1:] = [channels[j]] * len(in_channels[j + 1:])
         return out
 
 
@@ -353,12 +351,15 @@ class DLASeg(nn.Module):
                       [2 ** i for i in range(last_level - first_level)],
                       dtype=self.dtype, name="ida_up")(y, 0, len(y), train)
             feats = {f"dla{i}": y[i] for i in range(len(y))}
-        else:
-            st = first_level if self.use_dla_up else 0
+        elif self.use_dla_up:
             feats = {
-                f"dla{i + st}": pyramid[i]
-                for i in range(last_level - st)
+                f"dla{i + first_level}": pyramid[i]
+                for i in range(last_level - first_level)
             }
+        else:
+            # reference :502-505 with use_dla_up=False: the RAW base levels
+            # dla0..dla5 (st = 0), untouched by any decoder
+            feats = {f"dla{i}": layers[i] for i in range(last_level)}
         return {k: v for k, v in feats.items() if k in self.out_features}
 
 
@@ -366,6 +367,13 @@ class DLASeg(nn.Module):
 def build_dla_backbone(cfg, dtype=jnp.float32):
     """reference dla.py:430 — DLASeg from cfg.MODEL.DLA.*."""
     d = getattr(cfg.MODEL, "DLA", None)
+    norm = getattr(d, "NORM", "BN") if d else "BN"
+    if norm not in ("BN", "SyncBN"):
+        # SyncBN == BN here (stats sync via pmean in parallel/norm_sync);
+        # other norms are not plumbed through the DLA blocks yet
+        raise NotImplementedError(
+            f"MODEL.DLA.NORM={norm!r} is not supported (BN/SyncBN only)"
+        )
     return DLASeg(
         num_layers=getattr(d, "NUM_LAYERS", 34) if d else 34,
         out_features=tuple(getattr(d, "OUT_FEATURES", ["dla2"]))

@@ -111,17 +111,21 @@ class Bottleneck(nn.Module):
     expansion: float = 0.5
     depthwise: bool = False
     act: str = "silu"
+    bn_eps: float = BN_EPS
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.out_channels * self.expansion)
-        y = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+        y = BaseConv(hidden, 1, 1, act=self.act, bn_eps=self.bn_eps,
+                     dtype=self.dtype, name="conv1")(
             x, train
         )
         conv2_cls = DWConv if self.depthwise else BaseConv
+        kw = {} if self.depthwise else {"bn_eps": self.bn_eps}
         y = conv2_cls(
-            self.out_channels, 3, 1, act=self.act, dtype=self.dtype, name="conv2"
+            self.out_channels, 3, 1, act=self.act, dtype=self.dtype,
+            name="conv2", **kw
         )(y, train)
         if self.shortcut and x.shape[-1] == self.out_channels:
             y = y + x
@@ -191,15 +195,18 @@ class CSPLayer(nn.Module):
     expansion: float = 0.5
     depthwise: bool = False
     act: str = "silu"
+    bn_eps: float = BN_EPS
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.out_channels * self.expansion)
-        x1 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+        x1 = BaseConv(hidden, 1, 1, act=self.act, bn_eps=self.bn_eps,
+                      dtype=self.dtype, name="conv1")(
             x, train
         )
-        x2 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv2")(
+        x2 = BaseConv(hidden, 1, 1, act=self.act, bn_eps=self.bn_eps,
+                      dtype=self.dtype, name="conv2")(
             x, train
         )
         for i in range(self.n):
@@ -209,12 +216,14 @@ class CSPLayer(nn.Module):
                 expansion=1.0,
                 depthwise=self.depthwise,
                 act=self.act,
+                bn_eps=self.bn_eps,
                 dtype=self.dtype,
                 name=f"m_{i}",
             )(x1, train)
         x = jnp.concatenate([x1, x2], axis=-1)
         return BaseConv(
-            self.out_channels, 1, 1, act=self.act, dtype=self.dtype, name="conv3"
+            self.out_channels, 1, 1, act=self.act, bn_eps=self.bn_eps,
+            dtype=self.dtype, name="conv3"
         )(x, train)
 
 
