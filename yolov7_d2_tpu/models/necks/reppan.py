@@ -38,28 +38,34 @@ class RepPANNeck(nn.Module):
         chs = [max(int(c * self.width_mul), 8) for c in self.channels_plan]
         reps = [max(int(round(r * self.depth_mul)), 1) for r in self.repeats_plan]
 
-        r0 = BaseConv(chs[0], 1, 1, act="relu", dtype=self.dtype,
-                      name="reduce0")(x0, train)
-        up0 = jnp.concatenate([upsample2x_nearest(r0), x1], axis=-1)
+        r0 = BaseConv(chs[0], 1, 1, act="relu", bn_eps=1e-5,
+                      dtype=self.dtype, name="reduce0")(x0, train)
+        # the reference upsamples with a LEARNABLE ConvTranspose2d(k=2,s=2)
+        # (efficientrep.py Transpose:100), not nearest-neighbor
+        u0 = nn.ConvTranspose(chs[0], (2, 2), (2, 2), dtype=self.dtype,
+                              param_dtype=jnp.float32, name="upsample0")(r0)
+        up0 = jnp.concatenate([u0, x1], axis=-1)
         p4 = RepBlock(chs[0], reps[0], dtype=self.dtype, name="rep_p4")(
             up0, train
         )
 
-        r1 = BaseConv(chs[1], 1, 1, act="relu", dtype=self.dtype,
-                      name="reduce1")(p4, train)
-        up1 = jnp.concatenate([upsample2x_nearest(r1), x2], axis=-1)
+        r1 = BaseConv(chs[1], 1, 1, act="relu", bn_eps=1e-5,
+                      dtype=self.dtype, name="reduce1")(p4, train)
+        u1 = nn.ConvTranspose(chs[1], (2, 2), (2, 2), dtype=self.dtype,
+                              param_dtype=jnp.float32, name="upsample1")(r1)
+        up1 = jnp.concatenate([u1, x2], axis=-1)
         p3 = RepBlock(chs[1], reps[1], dtype=self.dtype, name="rep_p3")(
             up1, train
         )
 
-        d1 = BaseConv(chs[1], 3, 2, act="relu", dtype=self.dtype,
-                      name="down1")(p3, train)
+        d1 = BaseConv(chs[1], 3, 2, act="relu", bn_eps=1e-5,
+                      dtype=self.dtype, name="down1")(p3, train)
         n4 = RepBlock(chs[2], reps[2], dtype=self.dtype, name="rep_n4")(
             jnp.concatenate([d1, r1], axis=-1), train
         )
 
-        d0 = BaseConv(chs[2], 3, 2, act="relu", dtype=self.dtype,
-                      name="down0")(n4, train)
+        d0 = BaseConv(chs[2], 3, 2, act="relu", bn_eps=1e-5,
+                      dtype=self.dtype, name="down0")(n4, train)
         n5 = RepBlock(chs[3], reps[3], dtype=self.dtype, name="rep_n5")(
             jnp.concatenate([d0, r0], axis=-1), train
         )
