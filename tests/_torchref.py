@@ -58,6 +58,47 @@ def install_stubs() -> None:
             return lambda *a, **kw: None
 
     _stub("alfred").logger = _AlfredLogger()
+    _stub("alfred.utils")
+    _stub("alfred.utils.log").logger = _AlfredLogger()
+
+    # ---- fvcore weight init (real minimal implementations — they only
+    # affect init, which parity tests overwrite anyway)
+    fv = _stub("fvcore")
+    fvnn = _stub("fvcore.nn")
+    fvwi = _stub("fvcore.nn.weight_init")
+
+    def c2_msra_fill(module):
+        nn.init.kaiming_normal_(module.weight, mode="fan_out",
+                                nonlinearity="relu")
+        if module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
+    def c2_xavier_fill(module):
+        nn.init.kaiming_uniform_(module.weight, a=1)
+        if module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
+    fvwi.c2_msra_fill = c2_msra_fill
+    fvwi.c2_xavier_fill = c2_xavier_fill
+    fvnn.weight_init = fvwi
+    fv.nn = fvnn
+
+    # ---- timm (resnetvd/swin/convnext imports) — faithful block stubs
+    from _timm_stub import install_timm_stub
+
+    install_timm_stub()
+    import timm.models.layers as _tml
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    _tml.to_2tuple = to_2tuple
+    _tml.trunc_normal_ = trunc_normal_
 
     # ---- loguru
     class _Logger:
@@ -191,7 +232,33 @@ def install_stubs() -> None:
         def get(self, name):  # pragma: no cover
             raise KeyError(name)
 
+    class DeformConv(nn.Module):  # pragma: no cover — never run in parity
+        def __init__(self, *a, **kw):
+            super().__init__()
+            raise RuntimeError("DeformConv stub: not used in parity tests")
+
+    class _D2Registry:
+        def __init__(self, name=""):
+            self._name = name
+            self._map = {}
+
+        def register(self, obj=None):
+            if obj is None:
+                def deco(f):
+                    self._map[f.__name__] = f
+                    return f
+                return deco
+            self._map[obj.__name__] = obj
+            return obj
+
+        def get(self, name):
+            return self._map[name]
+
+    _stub("detectron2.utils.registry").Registry = _D2Registry
+    _stub("detectron2.layers.shape_spec").ShapeSpec = ShapeSpec
+
     layers.ShapeSpec = ShapeSpec
+    layers.DeformConv = DeformConv
     layers.get_norm = get_norm
     layers.BatchNorm2d = nn.BatchNorm2d
     layers.NaiveSyncBatchNorm = nn.BatchNorm2d

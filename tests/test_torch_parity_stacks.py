@@ -1,0 +1,400 @@
+"""DIFFERENTIAL NUMERICAL PARITY for the BASELINE-carrying stacks
+(VERDICT round-2 item 1).
+
+Same methodology as tests/test_torch_parity.py: import the reference's own
+PyTorch modules from /root/reference (via tests/_torchref.py stubs),
+random-initialize them, port their state dicts through
+yolov7_d2_tpu.utils.weight_port, and assert activation parity to fp32
+tolerance.
+
+Covers the stacks that carry published BASELINE numbers:
+  * d2-style ResNet-50 / ResNet-50-vd (resnetvd.py:517 — every SparseInst
+    row's backbone)
+  * SparseInst InstanceContextEncoder + Base/Group IAM decoders
+    (encoder_sparseinst.py:73, decoder_sparseinst.py:107,246)
+  * the DETR transformer encoder/decoder stack (detr_backbone.py:285)
+  * Swin-T (swin_transformer.py:688) and ConvNeXt-T (convnext.py:210 —
+    the YoloFormer headline config)
+  * RepPAN neck + EffiDeHead decode (neck/reppan.py:6, head/effidehead.py:7)
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from _torchref import ref_module  # noqa: E402
+from test_torch_parity import _randomize, _state_np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from yolov7_d2_tpu.utils import weight_port as wp  # noqa: E402
+
+
+def _nhwc(x: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+
+def _nchw(x) -> np.ndarray:
+    return np.asarray(x).transpose(0, 3, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-50 / ResNet-50-vd (resnetvd.py:517)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("vd", [True, False], ids=["vd", "plain"])
+def test_resnet_activation_parity(vd):
+    """timm-style ResNet-50 (reference resnetvd.ResNet) vs ours, including
+    the vd deep stem + ceil-mode avg-pool shortcut at odd spatial sizes."""
+    from yolov7_d2_tpu.models.backbones.resnet import ResNet
+
+    rv = ref_module("yolov7.modeling.backbone.resnetvd")
+    if vd:
+        tm = rv.ResNet(["bottleneck"] * 4, [3, 4, 6, 3], stem_type="deep",
+                       stem_width=32, avg_down=True).eval()
+        mapper = wp.map_resnetvd_torch_name
+    else:
+        tm = rv.ResNet(["bottleneck"] * 4, [3, 4, 6, 3]).eval()
+        mapper = wp.map_resnetvd_plain_torch_name
+    _randomize(tm, seed=11)
+
+    fm = ResNet(depth=50, vd=vd, out_features=("res3", "res4", "res5"),
+                frozen_bn=False, stride_in_1x1=False)
+    # 72x72 exercises the odd-size ceil-mode path (layer3 input is 9x9)
+    x = np.random.default_rng(11).uniform(0, 1, (1, 3, 72, 72)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=mapper)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, _nhwc(x))
+    for k in ("res3", "res4", "res5"):
+        np.testing.assert_allclose(
+            _nchw(ours[k]), ref[k].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"resnet{'vd' if vd else ''} {k} diverges")
+
+
+# ---------------------------------------------------------------------------
+# SparseInst encoder + decoders
+# ---------------------------------------------------------------------------
+
+def _si_cfg(channels=64, num_masks=8, groups=4, classes=7, kernel_dim=16,
+            inst_dim=32, mask_dim=24, convs=2):
+    ns = lambda **kw: types.SimpleNamespace(**kw)  # noqa: E731
+    return ns(MODEL=ns(SPARSE_INST=ns(
+        ENCODER=ns(NUM_CHANNELS=channels, IN_FEATURES=["res3", "res4",
+                                                       "res5"]),
+        DECODER=ns(
+            INST=ns(DIM=inst_dim, CONVS=convs),
+            MASK=ns(DIM=mask_dim, CONVS=convs),
+            NUM_MASKS=num_masks, KERNEL_DIM=kernel_dim,
+            NUM_CLASSES=classes, GROUPS=groups,
+            SCALE_FACTOR=2.0, OUTPUT_IAM=False,
+        ),
+    )))
+
+
+def test_sparseinst_encoder_activation_parity():
+    from yolov7_d2_tpu.models.meta_arch.sparseinst import (
+        InstanceContextEncoder,
+    )
+
+    enc_mod = ref_module("yolov7.modeling.transcoders.encoder_sparseinst")
+    cfg = _si_cfg(channels=64)
+    shapes = {
+        "res3": types.SimpleNamespace(channels=48),
+        "res4": types.SimpleNamespace(channels=96),
+        "res5": types.SimpleNamespace(channels=192),
+    }
+    tm = enc_mod.InstanceContextEncoder(cfg, shapes).eval()
+    _randomize(tm, seed=21)
+
+    rng = np.random.default_rng(21)
+    # 1/8, 1/16, 1/32 features of a 128x192 image (16x24 at 1/8) — the
+    # 1/32 map is 4x6, NOT divisible by pool sizes 3 and 6, which
+    # exercises the ceil-kernel adaptive-pool parity
+    c3 = rng.normal(size=(2, 48, 16, 24)).astype(np.float32)
+    c4 = rng.normal(size=(2, 96, 8, 12)).astype(np.float32)
+    c5 = rng.normal(size=(2, 192, 4, 6)).astype(np.float32)
+
+    fm = InstanceContextEncoder(channels=64)
+    feats = [_nhwc(c3), _nhwc(c4), _nhwc(c5)]
+    variables = fm.init(jax.random.PRNGKey(0), feats)
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables,
+        name_mapper=wp.map_sparseinst_encoder_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm({"res3": torch.from_numpy(c3), "res4": torch.from_numpy(c4),
+                  "res5": torch.from_numpy(c5)})
+    ours = fm.apply(ported, feats)
+    np.testing.assert_allclose(
+        _nchw(ours), ref.numpy(), rtol=2e-4, atol=2e-4,
+        err_msg="SparseInst encoder fused feature diverges")
+
+
+@pytest.mark.parametrize("groups", [1, 4], ids=["base", "group"])
+def test_sparseinst_decoder_activation_parity(groups):
+    from yolov7_d2_tpu.models.meta_arch.sparseinst import IAMDecoder
+
+    dec_mod = ref_module("yolov7.modeling.transcoders.decoder_sparseinst")
+    cfg = _si_cfg(channels=64, groups=groups)
+    cls_name = "BaseIAMDecoder" if groups == 1 else "GroupIAMDecoder"
+    tm = getattr(dec_mod, cls_name)(cfg).eval()
+    _randomize(tm, seed=31 + groups)
+
+    fused = np.random.default_rng(31).normal(
+        size=(2, 64, 12, 20)).astype(np.float32)
+
+    fm = IAMDecoder(num_masks=8, num_classes=7, kernel_dim=16, inst_dim=32,
+                    inst_convs=2, mask_dim=24, mask_convs=2, groups=groups,
+                    scale_factor=2.0)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(fused))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables,
+        name_mapper=wp.map_sparseinst_decoder_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(fused))
+    ours = fm.apply(ported, _nhwc(fused))
+    np.testing.assert_allclose(
+        np.asarray(ours["cls_logits"]), ref["pred_logits"].numpy(),
+        rtol=2e-4, atol=2e-4, err_msg="decoder cls logits diverge")
+    np.testing.assert_allclose(
+        np.asarray(ours["obj_logits"]), ref["pred_scores"].numpy()[..., 0],
+        rtol=2e-4, atol=2e-4, err_msg="decoder objectness diverges")
+    np.testing.assert_allclose(
+        np.asarray(ours["mask_logits"]), ref["pred_masks"].numpy(),
+        rtol=2e-4, atol=3e-4, err_msg="decoder mask logits diverge")
+
+
+# ---------------------------------------------------------------------------
+# DETR transformer stack (detr_backbone.py:285)
+# ---------------------------------------------------------------------------
+
+def test_detr_transformer_stack_parity():
+    from flax import linen as nn
+
+    from yolov7_d2_tpu.models.layers.transformer import Transformer
+
+    db = ref_module("yolov7.modeling.backbone.detr_backbone")
+    d, heads, layers, ff, q = 64, 4, 3, 128, 10
+    tm = db.Transformer(d_model=d, nhead=heads, num_encoder_layers=layers,
+                        num_decoder_layers=layers, dim_feedforward=ff,
+                        dropout=0.0, return_intermediate_dec=True).eval()
+    _randomize(tm, seed=41)
+
+    rng = np.random.default_rng(41)
+    b, h, w = 2, 5, 7
+    src = rng.normal(size=(b, d, h, w)).astype(np.float32)
+    pos = rng.normal(size=(b, d, h, w)).astype(np.float32)
+    query = rng.normal(size=(q, d)).astype(np.float32)
+    mask = np.zeros((b, h, w), bool)
+
+    class _Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, s, p, qe):
+            return Transformer(
+                d_model=d, nhead=heads, num_encoder_layers=layers,
+                num_decoder_layers=layers, dim_feedforward=ff, dropout=0.0,
+                name="transformer",
+            )(s, p, qe)
+
+    fm = _Wrap()
+    s_flat = jnp.asarray(src.reshape(b, d, h * w).transpose(0, 2, 1))
+    p_flat = jnp.asarray(pos.reshape(b, d, h * w).transpose(0, 2, 1))
+    variables = fm.init(jax.random.PRNGKey(0), s_flat, p_flat,
+                        jnp.asarray(query))
+    sd = {f"transformer.{k}": v for k, v in _state_np(tm).items()}
+    ported, report = wp.port_detr_state_dict(sd, variables, num_heads=heads)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        hs_ref, mem_ref = tm(torch.from_numpy(src),
+                             torch.from_numpy(mask),
+                             torch.from_numpy(query),
+                             torch.from_numpy(pos))
+    hs_ours, mem_ours = fm.apply(ported, s_flat, p_flat, jnp.asarray(query))
+    # reference hs: [L, B, Q, C]; memory: [B, C, H, W]
+    np.testing.assert_allclose(
+        np.asarray(hs_ours), hs_ref.numpy(), rtol=3e-4, atol=3e-4,
+        err_msg="decoder intermediate outputs diverge")
+    np.testing.assert_allclose(
+        np.asarray(mem_ours).transpose(0, 2, 1).reshape(b, d, h, w),
+        mem_ref.numpy(), rtol=3e-4, atol=3e-4,
+        err_msg="encoder memory diverges")
+
+
+# ---------------------------------------------------------------------------
+# Swin-T (swin_transformer.py:688)
+# ---------------------------------------------------------------------------
+
+def test_swin_tiny_activation_parity():
+    from yolov7_d2_tpu.models.backbones.swin import SwinTransformer
+
+    sw = ref_module("yolov7.modeling.backbone.swin_transformer")
+    tm = sw.SwinTransformer(
+        embed_dim=96, depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24],
+        window_size=7, out_indices=(0, 1, 2, 3), frozen_stages=-1,
+    )
+    # NB: the reference's ``train()`` override forgets ``return self``
+    # (swin_transformer.py), so ``.eval()`` cannot be chained
+    tm.eval()
+    _randomize(tm, seed=51)
+
+    fm = SwinTransformer(size="tiny", out_features=(0, 1, 2, 3))
+    # 64x64 -> 16x16 at stride 4: not window-divisible, exercises padding
+    x = np.random.default_rng(51).uniform(
+        0, 1, (1, 3, 64, 64)).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_swin_state_dict(_state_np(tm), variables)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, _nhwc(x))
+    ref = {k: v for k, v in ref.items()} if isinstance(ref, dict) else ref
+    for stage in (0, 1, 2, 3):
+        r = ref[stage] if isinstance(ref, dict) else ref[stage]
+        np.testing.assert_allclose(
+            _nchw(ours[f"stage{stage}"]), r.numpy(), rtol=5e-4, atol=5e-4,
+            err_msg=f"swin stage {stage} diverges")
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt-T (convnext.py:210)
+# ---------------------------------------------------------------------------
+
+def test_convnext_tiny_activation_parity():
+    from yolov7_d2_tpu.models.backbones.convnext import ConvNeXt
+
+    cn = ref_module("yolov7.modeling.backbone.convnext")
+    tm = cn.ConvNeXt(depths=[3, 3, 9, 3], dims=[96, 192, 384, 768],
+                     drop_path_rate=0.0, layer_scale_init_value=1e-6,
+                     out_indices=[0, 1, 2, 3]).eval()
+    _randomize(tm, seed=61)
+    # layer-scale gammas are init-constant 1e-6; randomize them too so the
+    # port is exercised with non-trivial values
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(61)
+        for n, p in tm.named_parameters():
+            if n.endswith("gamma"):
+                p.copy_(torch.empty_like(p).uniform_(0.5, 1.5, generator=g))
+
+    fm = ConvNeXt(size="tiny", out_features=(0, 1, 2, 3))
+    x = np.random.default_rng(61).uniform(
+        0, 1, (1, 3, 64, 64)).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_convnext_state_dict(_state_np(tm), variables)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, _nhwc(x))
+    for stage in (0, 1, 2, 3):
+        np.testing.assert_allclose(
+            _nchw(ours[f"stage{stage}"]), ref[stage].numpy(),
+            rtol=5e-4, atol=5e-4, err_msg=f"convnext stage {stage} diverges")
+
+
+# ---------------------------------------------------------------------------
+# RepPAN neck + EffiDeHead (neck/reppan.py:6, head/effidehead.py:7)
+# ---------------------------------------------------------------------------
+
+def _v6_channels(width=0.25, depth=0.33):
+    from yolov7_d2_tpu.models.backbones.efficientrep import make_divisible
+
+    backbone = [64, 128, 256, 512, 1024]
+    neck = [256, 128, 128, 256, 256, 512]
+    reps = [1, 6, 12, 18, 6] + [12, 12, 12, 12]
+    channels = [make_divisible(c * width) for c in backbone + neck]
+    repeats = [max(round(r * depth), 1) if r > 1 else r for r in reps]
+    return channels, repeats
+
+
+def test_reppan_activation_parity():
+    from yolov7_d2_tpu.models.necks.reppan import RepPANNeck
+
+    rp = ref_module("yolov7.modeling.neck.reppan")
+    width, depth = 0.25, 0.33
+    channels, repeats = _v6_channels(width, depth)
+    tm = rp.RepPANNeck(channels_list=channels, num_repeats=repeats,
+                       in_features=["stride8", "stride16", "stride32"]
+                       ).eval()
+    _randomize(tm, seed=71)
+
+    rng = np.random.default_rng(71)
+    c3 = rng.normal(size=(2, channels[2], 16, 16)).astype(np.float32)
+    c4 = rng.normal(size=(2, channels[3], 8, 8)).astype(np.float32)
+    c5 = rng.normal(size=(2, channels[4], 4, 4)).astype(np.float32)
+
+    fm = RepPANNeck(width_mul=width, depth_mul=depth)
+    feats = [_nhwc(c3), _nhwc(c4), _nhwc(c5)]
+    variables = fm.init(jax.random.PRNGKey(0), feats)
+    ported, report = wp.port_reppan_state_dict(_state_np(tm), variables)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm({"stride8": torch.from_numpy(c3),
+                  "stride16": torch.from_numpy(c4),
+                  "stride32": torch.from_numpy(c5)})
+    ours = fm.apply(ported, feats)
+    for i, name in enumerate(("pan_out2", "pan_out1", "pan_out0")):
+        np.testing.assert_allclose(
+            _nchw(ours[i]), ref[i].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"reppan {name} diverges")
+
+
+def test_effidehead_decode_parity():
+    """Reference EffiDeHead eval decode (xy=(pred+grid)*stride,
+    wh=exp*stride, sigmoided obj/cls) vs our head + decode_outputs."""
+    from yolov7_d2_tpu.models.heads.yolox_head import decode_outputs
+    from yolov7_d2_tpu.models.meta_arch.yolov6 import EffiDeHead
+
+    eh = ref_module("yolov7.modeling.head.effidehead")
+    width, depth = 0.25, 0.33
+    channels, _ = _v6_channels(width, depth)
+    num_classes = 6
+    layers = eh.build_effidehead_layer(channels, 1, num_classes)
+    tm = eh.EffiDeHead(num_classes, anchors=1, num_layers=3,
+                       head_layers=layers).eval()
+    _randomize(tm, seed=81)
+
+    rng = np.random.default_rng(81)
+    f0 = rng.normal(size=(2, channels[6], 8, 8)).astype(np.float32)
+    f1 = rng.normal(size=(2, channels[8], 4, 4)).astype(np.float32)
+    f2 = rng.normal(size=(2, channels[10], 2, 2)).astype(np.float32)
+
+    fm = EffiDeHead(num_classes=num_classes)
+    feats = [_nhwc(f0), _nhwc(f1), _nhwc(f2)]
+    variables = fm.init(jax.random.PRNGKey(0), feats)
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables,
+        name_mapper=wp.map_effidehead_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm([torch.from_numpy(f0), torch.from_numpy(f1),
+                  torch.from_numpy(f2)]).numpy()  # [B, A, 5+C] decoded
+
+    out = fm.apply(ported, feats)
+    boxes, obj_logits, cls_logits = decode_outputs(
+        out["outputs"], out["grids"], out["strides"])
+    np.testing.assert_allclose(
+        np.asarray(boxes), ref[..., :4], rtol=3e-4, atol=2e-3,
+        err_msg="effidehead decoded boxes diverge")
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(obj_logits)), ref[..., 4],
+        rtol=3e-4, atol=1e-5, err_msg="effidehead obj diverges")
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(cls_logits)), ref[..., 5:],
+        rtol=3e-4, atol=1e-5, err_msg="effidehead cls diverges")

@@ -188,9 +188,15 @@ def test_model_jit_compiles():
 
 
 def test_simota_prefilter_matches_full():
-    """prefilter_topk result == full computation when K covers candidates."""
-    grids, strides = _grid_setup()
-    A, C, G = 16, 3, 5
+    """prefilter_topk result == full computation when K covers candidates.
+
+    Uses an 8x8 grid so the two small GTs' geometric prior covers < K
+    anchors (asserted below) — on a grid where every anchor is a
+    candidate the premise would be vacuous and truncation real."""
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    grids = jnp.array(np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32)
+    A, C, G = 64, 3, 5
+    strides = jnp.full((A,), 8.0)
     rng = jax.random.PRNGKey(0)
     pred = jnp.concatenate(
         [(grids + 0.5) * 8.0 + jax.random.normal(rng, (A, 2)),
@@ -205,10 +211,17 @@ def test_simota_prefilter_matches_full():
     gt_classes = jnp.zeros((G,), jnp.int32).at[1].set(2)
     gt_valid = jnp.zeros((G,), bool).at[0].set(True).at[1].set(True)
 
+    from yolov7_d2_tpu.models.heads.yolox_head import _geometry_prior
+
+    in_box, in_center = _geometry_prior(grids, strides, gt_boxes)
+    n_cand = int(jnp.any((in_box | in_center) & gt_valid[:, None], 0).sum())
+    K = 40
+    assert n_cand <= K < A, (n_cand, K, A)  # premise: K covers candidates
+
     full = simota_assign(pred, obj, cls, grids, strides,
                          gt_boxes, gt_classes, gt_valid)
     pre = simota_assign(pred, obj, cls, grids, strides,
-                        gt_boxes, gt_classes, gt_valid, prefilter_topk=12)
+                        gt_boxes, gt_classes, gt_valid, prefilter_topk=K)
     np.testing.assert_array_equal(
         np.asarray(full["fg_mask"]), np.asarray(pre["fg_mask"])
     )
@@ -266,3 +279,96 @@ def test_yolox_losses_prefilter_matches_full():
     np.testing.assert_allclose(
         np.asarray(g_full), np.asarray(g_pre), rtol=1e-4, atol=1e-6
     )
+
+
+def _whole_image_setup(n=20, img=160.0):
+    """Anchors on an n x n stride-8 grid; ONE GT spanning the full image,
+    so in_box covers every anchor and any prefilter K < A truncates the
+    candidate set (the ADVICE large-object case)."""
+    ys, xs = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    grids = jnp.array(np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32)
+    A = n * n
+    strides = jnp.full((A,), 8.0)
+    centers = (np.asarray(grids) + 0.5) * 8.0
+    # box size monotone-decreasing in distance from the GT center, so IoU
+    # rank == centerness rank: the top-K-by-IoU kept set then contains
+    # every center-prior ("both") anchor the full pipeline can select,
+    # which is the exactness condition the first test exercises. A tiny
+    # per-anchor jitter breaks the 4-fold symmetry ties.
+    d = np.linalg.norm(centers - img / 2.0, axis=-1)
+    side = np.clip(img - d, 24.0, img) + 0.01 * np.arange(A)
+    wh = np.stack([side, side], -1).astype(np.float32)
+    pred = jnp.asarray(np.concatenate([centers, wh], -1))  # cxcywh
+    # IoU of each pred with the whole-image GT, for ranking
+    x1 = np.clip(centers[:, 0] - wh[:, 0] / 2, 0, img)
+    x2 = np.clip(centers[:, 0] + wh[:, 0] / 2, 0, img)
+    y1 = np.clip(centers[:, 1] - wh[:, 1] / 2, 0, img)
+    y2 = np.clip(centers[:, 1] + wh[:, 1] / 2, 0, img)
+    inter = (x2 - x1) * (y2 - y1)
+    union = img * img + wh[:, 0] * wh[:, 1] - inter
+    iou = inter / union
+    gt_boxes = jnp.zeros((3, 4)).at[0].set(jnp.array([0.0, 0.0, img, img]))
+    gt_classes = jnp.zeros((3,), jnp.int32)
+    gt_valid = jnp.zeros((3,), bool).at[0].set(True)
+    return pred, grids, strides, iou, gt_boxes, gt_classes, gt_valid
+
+
+def test_prefilter_whole_image_gt_exact_when_obj_tracks_iou():
+    """Image-spanning GT with candidates >> K: when objectness ranks like
+    IoU (the trained regime) and cls logits are flat, the kept top-K
+    contain every anchor the full pipeline could select, so the
+    truncated assignment is exact."""
+    pred, grids, strides, iou, gtb, gtc, gtv = _whole_image_setup()
+    A = grids.shape[0]
+    obj = jnp.asarray(10.0 * iou)          # obj rank == IoU rank
+    cls = jnp.zeros((A, 3))                # flat: cost rank == iou rank
+    full = simota_assign(pred, obj, cls, grids, strides, gtb, gtc, gtv)
+    pre = simota_assign(pred, obj, cls, grids, strides, gtb, gtc, gtv,
+                        prefilter_topk=64)
+    assert 64 < A
+    np.testing.assert_array_equal(np.asarray(full["fg_mask"]),
+                                  np.asarray(pre["fg_mask"]))
+    fg = np.asarray(full["fg_mask"])
+    assert fg.sum() >= 1
+    np.testing.assert_array_equal(np.asarray(full["matched_gt"])[fg],
+                                  np.asarray(pre["matched_gt"])[fg])
+    np.testing.assert_allclose(float(full["num_fg"]), float(pre["num_fg"]))
+
+
+def test_prefilter_whole_image_gt_truncation_deviates_when_obj_noisy():
+    """The documented failure mode (yolox_head.yolox_losses docstring):
+    same scene, objectness ANTI-correlated with IoU (early training
+    noise) — the prefilter drops the low-obj/high-IoU anchors the full
+    pipeline selects, so the assignments genuinely differ. This pins the
+    deviation as real, not hypothetical, and motivates the
+    MODEL.YOLO.SIMOTA_PREFILTER_TOPK escape hatches (0 auto / <0 off)."""
+    pred, grids, strides, iou, gtb, gtc, gtv = _whole_image_setup()
+    A = grids.shape[0]
+    obj = jnp.asarray(-10.0 * iou)
+    cls = jnp.zeros((A, 3))
+    full = simota_assign(pred, obj, cls, grids, strides, gtb, gtc, gtv)
+    pre = simota_assign(pred, obj, cls, grids, strides, gtb, gtc, gtv,
+                        prefilter_topk=64)
+    assert not np.array_equal(np.asarray(full["fg_mask"]),
+                              np.asarray(pre["fg_mask"]))
+    # disabling via prefilter_topk=None (cfg < 0) restores exactness
+    off = simota_assign(pred, obj, cls, grids, strides, gtb, gtc, gtv,
+                        prefilter_topk=None)
+    np.testing.assert_array_equal(np.asarray(full["fg_mask"]),
+                                  np.asarray(off["fg_mask"]))
+
+
+def test_resolve_simota_prefilter_cfg():
+    from yolov7_d2_tpu.config import get_cfg
+    from yolov7_d2_tpu.engine import resolve_simota_prefilter
+
+    cfg = get_cfg()
+    cfg.defrost()
+    cfg.INPUT.INPUT_SIZE = (640, 640)
+    cfg.MODEL.YOLO.SIMOTA_PREFILTER_TOPK = 0   # auto
+    a = sum((640 // s) * (640 // s) for s in (8, 16, 32))
+    assert resolve_simota_prefilter(cfg) == max(1024, a // 4)
+    cfg.MODEL.YOLO.SIMOTA_PREFILTER_TOPK = 512
+    assert resolve_simota_prefilter(cfg) == 512
+    cfg.MODEL.YOLO.SIMOTA_PREFILTER_TOPK = -1
+    assert resolve_simota_prefilter(cfg) is None

@@ -174,6 +174,10 @@ def get_cfg() -> CfgNode:
     _C.MODEL.YOLO.KEYPOINTS_NUM = 17  # wired (the reference leaves it undefined)
     _C.MODEL.YOLO.MAX_DETECTIONS = 100  # static NMS output size (TPU)
     _C.MODEL.YOLO.NMS_PRE_TOPK = 1024  # pre-NMS candidate cap (TPU)
+    # SimOTA candidate prefilter (TPU static-shape cost-pipeline cap):
+    # >0 exact value, 0 auto (max(1024, A//4), exact whenever the geometric
+    # candidate set fits), <0 disable (full [G, A] pipeline, always exact)
+    _C.MODEL.YOLO.SIMOTA_PREFILTER_TOPK = 0
 
     _C.MODEL.YOLO.LOSS = CfgNode()
     _C.MODEL.YOLO.LOSS.LAMBDA_XY = 1.0

@@ -23,13 +23,35 @@ from yolov7_d2_tpu.train.train_state import (
 )
 
 
-def make_yolox_loss_adapter(num_classes: int):
+def resolve_simota_prefilter(cfg) -> Optional[int]:
+    """MODEL.YOLO.SIMOTA_PREFILTER_TOPK -> effective top-K (None = off).
+
+    0 = auto: max(1024, A // 4) where A is the anchor count at
+    INPUT.INPUT_SIZE over strides 8/16/32 — keeps the kept fraction of
+    anchors constant as the input grows, so the exactness condition
+    (geometric candidate set fits in K) degrades no faster at 1280px
+    than at 640px.
+    """
+    v = cfg.MODEL.YOLO.SIMOTA_PREFILTER_TOPK
+    if v < 0:
+        return None
+    if v > 0:
+        return int(v)
+    h, w = cfg.INPUT.INPUT_SIZE
+    a_total = sum((h // s) * (w // s) for s in (8, 16, 32))
+    return max(1024, a_total // 4)
+
+
+def make_yolox_loss_adapter(
+    num_classes: int, prefilter_topk: Optional[int] = 2048
+):
     """Loss fn whose L1 term is gated by a *traced* flag, so the
     L1-enable schedule (reference yolox.py:105-121) lives inside one
     compiled step instead of two recompilations."""
 
     def loss_fn(head_out, batch, use_l1_flag) -> Dict[str, jnp.ndarray]:
-        losses = yolox_loss_fn(head_out, batch, num_classes, use_l1=True)
+        losses = yolox_loss_fn(head_out, batch, num_classes, use_l1=True,
+                               prefilter_topk=prefilter_topk)
         flag = jnp.asarray(use_l1_flag, jnp.float32)
         l1 = losses["loss_l1"] * flag
         total = losses["loss_iou"] + losses["loss_obj"] + losses["loss_cls"] + l1
@@ -80,7 +102,9 @@ def build_yolox_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2
             else None
         ),
     )
-    loss_fn = make_yolox_loss_adapter(cfg.MODEL.YOLO.CLASSES)
+    loss_fn = make_yolox_loss_adapter(
+        cfg.MODEL.YOLO.CLASSES, prefilter_topk=resolve_simota_prefilter(cfg)
+    )
     # L1 turns on when strong aug turns off (reference yolox semantics)
     use_l1_after = cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER
     train_step = make_train_step(

@@ -207,13 +207,23 @@ class COCOEvaluator:
             ious = box_iou_matrix(det_boxes, gt_boxes, iscrowd)
 
         scores = np.array([d["score"] for d in dets])
-        det_areas = (
-            (lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))(
-                np.stack([d["bbox"] for d in dets])
+        # pycocotools det 'area' (used for the unmatched-det area ignore):
+        # bbox w*h for iouType 'bbox', MASK PIXEL AREA for 'segm'
+        # (pycocotools coco.loadRes: ann['area'] = maskUtils.area(rle))
+        if self.iou_type == "segm":
+            det_areas = (
+                np.array([float(np.count_nonzero(d["mask"])) for d in dets])
+                if dets
+                else np.zeros((0,))
             )
-            if dets
-            else np.zeros((0,))
-        )
+        else:
+            det_areas = (
+                (lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))(
+                    np.stack([d["bbox"] for d in dets])
+                )
+                if dets
+                else np.zeros((0,))
+            )
         out = []
         for t in IOU_THRS:
             match, ignore = _match_image(ious, scores, gt_ignore, iscrowd, t)

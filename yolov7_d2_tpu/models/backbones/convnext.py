@@ -40,7 +40,7 @@ class ConvNeXtBlock(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="pwconv1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="pwconv2")(y)
         gamma = self.param(
@@ -89,7 +89,12 @@ class ConvNeXt(nn.Module):
                 )(x, train)
                 block_id += 1
             if stage in self.out_features:
-                outputs[f"stage{stage}"] = x
+                # reference applies a per-stage channels-first LayerNorm
+                # (eps 1e-6) to each output feature (convnext.py:108-113,
+                # forward_features :157)
+                out = nn.LayerNorm(dtype=jnp.float32,
+                                   name=f"out_norm_{stage}")(x)
+                outputs[f"stage{stage}"] = out.astype(self.dtype)
         return outputs
 
 

@@ -224,7 +224,14 @@ def _bilinear_kernel(k: int) -> np.ndarray:
 class BilinearUp(nn.Module):
     """Learnable depthwise 2f x 2f upsample, bilinear-initialized — the
     grouped ConvTranspose2d(k=2f, s=f, p=f//2) of reference IDAUp:317,
-    expressed as an lhs-dilated conv (same math, MXU/VPU friendly)."""
+    expressed as an lhs-dilated conv (same math, MXU/VPU friendly).
+
+    Weight-porting note: this is an lhs-dilated *cross-correlation*;
+    torch's ConvTranspose2d applies the spatially flipped kernel. The two
+    agree at the symmetric bilinear init, but these up_* kernels train in
+    the reference, so a DLA name mapper in utils/weight_port.py must
+    flip trained torch kernels spatially ([::-1, ::-1] on H, W) when
+    loading them here."""
 
     channels: int
     factor: int

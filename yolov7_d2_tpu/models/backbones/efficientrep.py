@@ -17,6 +17,14 @@ from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
 from yolov7_d2_tpu.models.layers.blocks import RepVGGBlock, SPPBottleneck
 
 
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """YOLOv6 channel rounding (reference efficientrep.py builder:
+    ``make_divisible(i * width_mul, 8)`` = ceil to a multiple of 8)."""
+    import math
+
+    return int(math.ceil(x / divisor) * divisor)
+
+
 class RepBlock(nn.Module):
     channels: int
     n: int = 1
@@ -41,8 +49,11 @@ class EfficientRep(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
-        chs = [max(int(c * self.width_mul), 8) for c in self.channels_plan]
-        reps = [max(int(round(r * self.depth_mul)), 1) for r in self.repeats_plan]
+        chs = [make_divisible(c * self.width_mul) for c in self.channels_plan]
+        reps = [
+            max(round(r * self.depth_mul), 1) if r > 1 else r
+            for r in self.repeats_plan
+        ]
         x = RepVGGBlock(chs[0], 2, bn_eps=1e-5, dtype=self.dtype, name="stem")(x, train)
         outputs: Dict[str, jnp.ndarray] = {}
         for i in range(1, 5):

@@ -98,7 +98,7 @@ class InvertedResidual(nn.Module):
             y = ConvBNAct(mid, self.kernel, self.stride, groups=mid,
                           dtype=self.dtype, name="dw")(y, train)
         if self.se:
-            y = SqueezeExcite(max(8, mid // 4), dtype=self.dtype,
+            y = SqueezeExcite(_round_channels(mid / 4), dtype=self.dtype,
                               name="se")(y)
         y = ConvBNAct(self.out_channels, 1, act=False, dtype=self.dtype,
                       name="project")(y, train)

@@ -44,7 +44,7 @@ class SRAttention(nn.Module):
                 (self.sr_ratio, self.sr_ratio), dtype=self.dtype,
                 param_dtype=jnp.float32, name="sr",
             )(kv_in)
-            kv_in = nn.LayerNorm(dtype=jnp.float32, name="sr_norm")(
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="sr_norm")(
                 kv_in
             ).astype(self.dtype)
             kv_in = kv_in.reshape(b, -1, self.dim)
@@ -117,7 +117,7 @@ class PVTv2(nn.Module):
                         param_dtype=jnp.float32,
                         name=f"patch_embed_{stage}")(x)
             b, h, w, c = x.shape
-            t = nn.LayerNorm(dtype=jnp.float32,
+            t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              name=f"embed_norm_{stage}")(
                 x.reshape(b, h * w, c)
             ).astype(self.dtype)

@@ -81,7 +81,13 @@ class Bottleneck(nn.Module):
         if x.shape[-1] != self.out_channels or self.stride != 1:
             sc = x
             if self.vd and self.stride != 1:
-                sc = nn.avg_pool(sc, (2, 2), (2, 2))
+                # reference downsample_avg: AvgPool2d(2, 2, ceil_mode=True,
+                # count_include_pad=False) (resnetvd.py:156-183)
+                ph, pw = sc.shape[1] % 2, sc.shape[2] % 2
+                sc = nn.avg_pool(
+                    sc, (2, 2), (2, 2), padding=[(0, ph), (0, pw)],
+                    count_include_pad=False,
+                )
                 sc = ConvBN(self.out_channels, 1, 1, act=False,
                             frozen_bn=self.frozen_bn, dtype=self.dtype,
                             name="shortcut")(sc, train)
@@ -160,12 +166,16 @@ def build_resnet_backbone(cfg, dtype=jnp.float32):
 
 @BACKBONE_REGISTRY.register()
 def build_resnet_vd_backbone(cfg, dtype=jnp.float32):
-    """Reference resnetvd.py:517 registry name."""
+    """Reference resnetvd.py:517 registry name.
+
+    The reference vd build uses timm-style blocks whose stride always lives
+    on the 3x3 conv (timm ``Bottleneck``), so ``stride_in_1x1`` is forced
+    False regardless of the d2-oriented config key."""
     return ResNet(
         depth=cfg.MODEL.RESNETS.DEPTH,
         vd=True,
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         frozen_bn=(cfg.MODEL.RESNETS.NORM == "FrozenBN"),
-        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        stride_in_1x1=False,
         dtype=dtype,
     )

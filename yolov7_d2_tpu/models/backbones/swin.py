@@ -116,9 +116,12 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         b, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        shift = self.shift if ws < min(h, w) else 0
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        # the reference (detection Swin) ALWAYS keeps the configured window
+        # and pads, applying shifts through the attention mask even when a
+        # single window covers the map (swin_transformer.py:228-241,393-406)
+        ws = self.window_size
+        shift = self.shift
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         # pad to window multiples (reference swin_transformer.py F.pads the
         # feature map before partitioning, then crops after reversing)
         pad_h = (-h) % ws
@@ -142,10 +145,10 @@ class SwinBlock(nn.Module):
             y = y[:, :h, :w]
         x = x + y
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp2")(y)
         return x + y
@@ -163,7 +166,7 @@ class PatchMerging(nn.Module):
             b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name="reduction")(x)
 
@@ -181,7 +184,7 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(embed, (self.patch_size, self.patch_size),
                     (self.patch_size, self.patch_size), dtype=self.dtype,
                     param_dtype=jnp.float32, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x).astype(
             self.dtype
         )
         outputs: Dict[str, jnp.ndarray] = {}
@@ -198,7 +201,7 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name=f"stage{stage}_block{i}",
                 )(x, train)
             if stage in self.out_features:
-                out = nn.LayerNorm(dtype=jnp.float32,
+                out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                    name=f"out_norm_{stage}")(x)
                 outputs[f"stage{stage}"] = out.astype(self.dtype)
         return outputs

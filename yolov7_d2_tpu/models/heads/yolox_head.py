@@ -140,6 +140,18 @@ def _geometry_prior(
     return in_box, in_center
 
 
+def _prefilter_key(cand_any: jnp.ndarray, obj_logits: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic (candidate-flag, objectness) ranking key that is exact
+    in float32. A naive ``cand * 1e9 + obj`` silently drops the objectness
+    term (f32 resolution at 1e9 is 64 ulp), degrading top-K-by-objectness
+    to top-K-by-index whenever candidates exceed K; normalizing the logit
+    into [0, 1] and offsetting candidates by 2 keeps both fields live."""
+    lo = jnp.min(obj_logits)
+    rng = jnp.max(obj_logits) - lo
+    obj_n = (obj_logits - lo) / jnp.maximum(rng, 1e-12)
+    return cand_any.astype(jnp.float32) * 2.0 + obj_n
+
+
 def simota_assign(
     pred_boxes_cxcywh: jnp.ndarray,  # [A, 4]
     obj_logits: jnp.ndarray,         # [A]
@@ -172,7 +184,7 @@ def simota_assign(
     if prefilter_topk is not None and prefilter_topk < a_total:
         k = prefilter_topk
         cand_any = jnp.any(candidate, axis=0)
-        sel = cand_any.astype(jnp.float32) * 1e9 + obj_logits
+        sel = _prefilter_key(cand_any, obj_logits)
         top_idx = jax.lax.top_k(sel, k)[1]                 # [K]
         # Recompute the geometry prior on the gathered anchor subset instead
         # of column-gathering the [G, A] masks: [G, A] -> [G, K] gathers are
@@ -318,6 +330,17 @@ def yolox_losses(
     Assignment runs under stop_gradient (the reference computes it in
     no_grad); losses are normalized by total foreground count across the
     batch, matching the reference exactly.
+
+    ``prefilter_topk`` truncation: when an image's geometric candidate
+    set exceeds K (possible with image-spanning GT boxes, where in_box
+    alone can cover every anchor), the kept K are ranked by raw
+    objectness logit and the result can deviate from the full pipeline —
+    the dropped anchors can include lower-cost matches early in training
+    when objectness is noisy. Configure via
+    MODEL.YOLO.SIMOTA_PREFILTER_TOPK (0 auto-scales with A, <0 disables;
+    see engine.resolve_simota_prefilter);
+    tests/test_yolox_model.py::test_prefilter_whole_image_gt covers the
+    image-spanning-GT case.
     """
     outputs = head_out["outputs"]            # [B, A, 5+C]
     grids = head_out["grids"]                # [A, 2]
@@ -332,14 +355,14 @@ def yolox_losses(
         # computing them on [B, K, ...] instead of [B, A, ...] is exact
         # whenever the true candidate count fits in K — and it shrinks the
         # dominant [B, A, C] cls-BCE fwd+bwd ~4x. Selection ranking is
-        # identical to simota_assign's internal prefilter
-        # (candidate-flag * 1e9 + raw obj logit).
+        # identical to simota_assign's internal prefilter (_prefilter_key:
+        # candidate-flag lexicographically above normalized obj logit).
         k = prefilter_topk
 
         def _prefilter_one(out_img, gb, gv):
             in_box, in_center = _geometry_prior(grids, strides, gb)
             cand_any = jnp.any((in_box | in_center) & gv[:, None], axis=0)
-            sel = cand_any.astype(jnp.float32) * 1e9 + out_img[:, 4]
+            sel = _prefilter_key(cand_any, out_img[:, 4])
             # top_k orders by value; re-sort by POSITION so the row-gather
             # of outputs (and its scatter-add transpose in the backward)
             # walks HBM near-sequentially instead of value-ordered.

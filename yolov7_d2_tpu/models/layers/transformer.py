@@ -96,8 +96,8 @@ class EncoderLayer(nn.Module):
             return nn.Dense(self.d_model, dtype=self.dtype,
                             param_dtype=jnp.float32, name="linear2")(y)
 
-        n1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
-        n2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        n1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        n2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         drop = nn.Dropout(self.dropout, deterministic=not train)
         if self.pre_norm:
             src = src + drop(sa(n1(src).astype(self.dtype)))
@@ -141,9 +141,9 @@ class DecoderLayer(nn.Module):
             return nn.Dense(self.d_model, dtype=self.dtype,
                             param_dtype=jnp.float32, name="linear2")(y)
 
-        n1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
-        n2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
-        n3 = nn.LayerNorm(dtype=jnp.float32, name="norm3")
+        n1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        n2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
+        n3 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")
         drop = nn.Dropout(self.dropout, deterministic=not train)
         if self.pre_norm:
             tgt = tgt + drop(sa(n1(tgt).astype(self.dtype)))
@@ -184,7 +184,7 @@ class Transformer(nn.Module):
                 self.pre_norm, self.dtype, name=f"enc_{i}",
             )(src, pos, train)
         if self.pre_norm:
-            src = nn.LayerNorm(dtype=jnp.float32, name="enc_norm")(src).astype(
+            src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="enc_norm")(src).astype(
                 self.dtype
             )
 
@@ -193,7 +193,7 @@ class Transformer(nn.Module):
         ).astype(self.dtype)
         tgt = jnp.zeros_like(q)
         # DETR applies one shared final norm to every intermediate output
-        dec_norm = nn.LayerNorm(dtype=jnp.float32, name="dec_norm")
+        dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="dec_norm")
         outs = []
         for i in range(self.num_decoder_layers):
             tgt = DecoderLayer(

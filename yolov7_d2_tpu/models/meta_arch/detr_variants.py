@@ -73,7 +73,7 @@ class RCDADecoderLayer(nn.Module):
             dropout_rate=self.dropout, deterministic=not train,
             name="self_attn",
         )(q, k, inputs_v=tgt)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + y).astype(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tgt + y).astype(
             self.dtype
         )
 
@@ -82,7 +82,7 @@ class RCDADecoderLayer(nn.Module):
         y = RCDAttention(
             self.d_model, self.nhead, dtype=self.dtype, name="cross_attn"
         )(tgt + query_pos, tgt + query_pos, key_row, key_col, memory_2d)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + y).astype(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tgt + y).astype(
             self.dtype
         )
 
@@ -91,7 +91,7 @@ class RCDADecoderLayer(nn.Module):
         y = nn.relu(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="linear2")(y)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm3")(tgt + y).astype(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tgt + y).astype(
             self.dtype
         )
 
@@ -124,7 +124,7 @@ class RCDAEncoderLayer(nn.Module):
             with_col,
             src2d,
         ).reshape(b, h, w, c)
-        src2d = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+        src2d = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             src2d + y
         ).astype(self.dtype)
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
@@ -132,7 +132,7 @@ class RCDAEncoderLayer(nn.Module):
         y = nn.relu(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="linear2")(y)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             src2d + y
         ).astype(self.dtype)
 
@@ -275,7 +275,7 @@ class SMCADecoderLayer(nn.Module):
             num_heads=self.nhead, dtype=self.dtype, param_dtype=jnp.float32,
             deterministic=True, name="self_attn",
         )(q, k, inputs_v=tgt)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + y).astype(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tgt + y).astype(
             self.dtype
         )
 
@@ -308,7 +308,7 @@ class SMCADecoderLayer(nn.Module):
         y = jnp.einsum("bnqp,bpnd->bqnd", attn, vh).reshape(b, qn, self.d_model)
         y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="ca_out")(y)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + y).astype(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tgt + y).astype(
             self.dtype
         )
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
@@ -316,7 +316,7 @@ class SMCADecoderLayer(nn.Module):
         y = nn.relu(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="linear2")(y)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm3")(tgt + y).astype(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tgt + y).astype(
             self.dtype
         )
 
@@ -650,7 +650,7 @@ class DetrD2goModule(nn.Module):
                     self.hidden_dim, self.nheads, self.dim_feedforward,
                     dropout=0.0, dtype=self.dtype, name=f"dec_{i}",
                 )(tgt, mem, query_pos, pos, train)
-                o = nn.LayerNorm(dtype=jnp.float32, name=f"dec_norm_{i}")(
+                o = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"dec_norm_{i}")(
                     tgt.astype(jnp.float32)
                 )
                 all_logits.append(cls_head(o))

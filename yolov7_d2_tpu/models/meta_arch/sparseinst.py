@@ -48,21 +48,29 @@ class PyramidPoolingModule(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        outs = [x]
+        # reference concat order: pooled stages FIRST, input LAST
+        # (encoder_sparseinst.py:58-68 ``priors = [stages...] + [feats]``)
+        outs = []
         for i, ps in enumerate(self.pool_sizes):
-            # adaptive average pool to (ps, ps); degenerate tiny inputs
-            # (h < ps, tests only) fall back to 1x1 windows
-            kh, kw = max(h // ps, 1), max(w // ps, 1)
+            # adaptive average pool to (ps, ps) via the reference's
+            # MyAdaptiveAvgPool2d kernel = ceil(H/ps) (encoder:18-39);
+            # degenerate tiny inputs (h < ps, tests only) use 1x1 windows
+            import math as _math
+
+            kh = max(_math.ceil(h / ps), 1)
+            kw = max(_math.ceil(w / ps), 1)
             p = nn.avg_pool(x, (kh, kw), (kh, kw))
             p = nn.Conv(self.channels // 4, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"pool_conv_{i}")(p)
-            p = nn.relu(p)
+            p = nn.relu(p.astype(jnp.float32))
             p = jax.image.resize(p, (b, h, w, p.shape[-1]), "bilinear")
             outs.append(p.astype(self.dtype))
+        outs.append(x)
         x = jnp.concatenate(outs, axis=-1)
-        x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    dtype=self.dtype, param_dtype=jnp.float32, name="fuse")(x)
-        return nn.relu(x)
+        # 1x1 bottleneck back to in_channels (encoder:49 ``bottleneck``)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="bottleneck")(x)
+        return nn.relu(x.astype(jnp.float32)).astype(self.dtype)
 
 
 class InstanceContextEncoder(nn.Module):
@@ -97,10 +105,17 @@ class InstanceContextEncoder(nn.Module):
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="out3")(p3)
         b, h, w, _ = o3.shape
-        fused = (
-            o3
-            + jax.image.resize(o4, (b, h, w, self.channels), "bilinear")
-            + jax.image.resize(o5, (b, h, w, self.channels), "bilinear")
+        # reference fuses by CONCAT then 1x1 conv over 3C channels, in order
+        # [out3, up(out4), up(out5)] (encoder_sparseinst.py:119-126)
+        fused = jnp.concatenate(
+            [
+                o3,
+                jax.image.resize(o4, (b, h, w, self.channels), "bilinear")
+                .astype(self.dtype),
+                jax.image.resize(o5, (b, h, w, self.channels), "bilinear")
+                .astype(self.dtype),
+            ],
+            axis=-1,
         )
         fused = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="fusion")(fused)
@@ -108,7 +123,12 @@ class InstanceContextEncoder(nn.Module):
 
 
 def coord_features(x: jnp.ndarray) -> jnp.ndarray:
-    """Append normalized (x, y) coordinate channels (decoder coord-conv)."""
+    """Prepend normalized (x, y) coordinate channels (decoder coord-conv).
+
+    Channel order matches the reference exactly: coords FIRST, then
+    features, with coord channel 0 = x and 1 = y
+    (decoder_sparseinst.py:121-135 ``cat([coord_features, features], 1)``
+    with ``locations = cat([x_loc, y_loc], 1)``)."""
     b, h, w, _ = x.shape
     ys = jnp.linspace(-1.0, 1.0, h)
     xs = jnp.linspace(-1.0, 1.0, w)
@@ -116,7 +136,7 @@ def coord_features(x: jnp.ndarray) -> jnp.ndarray:
     coords = jnp.broadcast_to(
         jnp.stack([xx, yy], axis=-1)[None], (b, h, w, 2)
     ).astype(x.dtype)
-    return jnp.concatenate([x, coords], axis=-1)
+    return jnp.concatenate([coords, x], axis=-1)
 
 
 class IAMDecoder(nn.Module):
@@ -156,17 +176,25 @@ class IAMDecoder(nn.Module):
         iam_prob = jax.nn.sigmoid(iam.astype(jnp.float32))   # [B,H,W,G*N]
         iam_flat = iam_prob.reshape(b, h * w, -1).transpose(0, 2, 1)
         # normalize each map, aggregate features: [B, G*N, C]
-        norm = jnp.sum(iam_flat, axis=-1, keepdims=True) + 1e-6
+        # (reference clamps: min=1e-6 base / (1e-6, 1e5) group,
+        # decoder_sparseinst.py:77,224)
+        norm = jnp.clip(
+            jnp.sum(iam_flat, axis=-1, keepdims=True), 1e-6,
+            1e5 if self.groups > 1 else None,
+        )
         inst = jnp.einsum(
             "bnp,bpc->bnc", iam_flat / norm,
             y.reshape(b, h * w, -1).astype(jnp.float32),
         )
         if self.groups > 1:
-            # concat group features per instance (decoder_sparseinst.py:237)
+            # concat group features per instance (decoder_sparseinst.py:237);
+            # the fc KEEPS the expanded width dim*groups (decoder:190
+            # ``nn.Linear(expand_dim, expand_dim)``) and the cls/kernel/obj
+            # heads consume that expanded width
             inst = inst.reshape(b, self.groups, self.num_masks, -1)
             inst = inst.transpose(0, 2, 1, 3).reshape(b, self.num_masks, -1)
-            inst = nn.Dense(self.inst_dim, param_dtype=jnp.float32,
-                            name="fc")(inst)
+            inst = nn.Dense(self.inst_dim * self.groups,
+                            param_dtype=jnp.float32, name="fc")(inst)
             inst = nn.relu(inst)
 
         cls_logits = nn.Dense(self.num_classes, param_dtype=jnp.float32,
@@ -227,6 +255,8 @@ class SparseInst(nn.Module):
         x = ((images - mean) / std).astype(self.dtype)
         feats = ResNet(
             depth=self.resnet_depth, vd=self.resnet_vd,
+            # vd = timm-style blocks: stride lives on the 3x3 conv
+            stride_in_1x1=not self.resnet_vd,
             deform_on_per_stage=(
                 (False, False, True, True) if self.resnet_dcn
                 else (False, False, False, False)

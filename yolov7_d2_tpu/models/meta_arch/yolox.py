@@ -96,6 +96,7 @@ def yolox_loss_fn(
     batch: Dict[str, jnp.ndarray],
     num_classes: int,
     use_l1: bool = False,
+    prefilter_topk: "int | None" = 2048,
 ) -> Dict[str, jnp.ndarray]:
     return yolox_losses(
         head_out,
@@ -104,6 +105,7 @@ def yolox_loss_fn(
         batch["gt_valid"],
         num_classes,
         use_l1=use_l1,
+        prefilter_topk=prefilter_topk,
     )
 
 

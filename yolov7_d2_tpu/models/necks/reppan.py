@@ -21,52 +21,68 @@ from yolov7_d2_tpu.models.necks.yolo_pafpn import upsample2x_nearest
 
 
 class RepPANNeck(nn.Module):
-    """Top-down + bottom-up PAN with RepBlocks (strides 8/16/32)."""
+    """Top-down + bottom-up PAN with RepBlocks (strides 8/16/32).
+
+    Channel plan follows the reference exactly (efficientrep.py builder
+    ``channels_list_neck = [256, 128, 128, 256, 256, 512]`` = indices 5..10
+    of the combined list; neck/reppan.py wires Rep_p4→ch5, Rep_p3→ch6,
+    downsample2→ch7, Rep_n3→ch8, downsample1→ch9, Rep_n4→ch10), scaled by
+    ``make_divisible(c * width_mul, 8)``.
+    """
 
     width_mul: float = 1.0
     depth_mul: float = 1.0
     dtype: Any = jnp.float32
 
-    channels_plan: Sequence[int] = (128, 64, 128, 256)
+    # reference channels_list indices 5..10
+    channels_plan: Sequence[int] = (256, 128, 128, 256, 256, 512)
+    # reference num_repeats indices 5..8 (Rep_p4, Rep_p3, Rep_n3, Rep_n4)
     repeats_plan: Sequence[int] = (12, 12, 12, 12)
 
     @nn.compact
     def __call__(
         self, feats: Sequence[jnp.ndarray], train: bool = False
     ) -> Tuple[jnp.ndarray, ...]:
-        x2, x1, x0 = feats
-        chs = [max(int(c * self.width_mul), 8) for c in self.channels_plan]
-        reps = [max(int(round(r * self.depth_mul)), 1) for r in self.repeats_plan]
+        from yolov7_d2_tpu.models.backbones.efficientrep import make_divisible
 
-        r0 = BaseConv(chs[0], 1, 1, act="relu", bn_eps=1e-5,
+        x2, x1, x0 = feats
+        ch5, ch6, ch7, ch8, ch9, ch10 = [
+            make_divisible(c * self.width_mul) for c in self.channels_plan
+        ]
+        reps = [
+            max(round(r * self.depth_mul), 1) if r > 1 else r
+            for r in self.repeats_plan
+        ]
+
+        r0 = BaseConv(ch5, 1, 1, act="relu", bn_eps=1e-5,
                       dtype=self.dtype, name="reduce0")(x0, train)
         # the reference upsamples with a LEARNABLE ConvTranspose2d(k=2,s=2)
         # (efficientrep.py Transpose:100), not nearest-neighbor
-        u0 = nn.ConvTranspose(chs[0], (2, 2), (2, 2), dtype=self.dtype,
+        u0 = nn.ConvTranspose(ch5, (2, 2), (2, 2), dtype=self.dtype,
                               param_dtype=jnp.float32, name="upsample0")(r0)
         up0 = jnp.concatenate([u0, x1], axis=-1)
-        p4 = RepBlock(chs[0], reps[0], dtype=self.dtype, name="rep_p4")(
+        p4 = RepBlock(ch5, reps[0], dtype=self.dtype, name="rep_p4")(
             up0, train
         )
 
-        r1 = BaseConv(chs[1], 1, 1, act="relu", bn_eps=1e-5,
+        r1 = BaseConv(ch6, 1, 1, act="relu", bn_eps=1e-5,
                       dtype=self.dtype, name="reduce1")(p4, train)
-        u1 = nn.ConvTranspose(chs[1], (2, 2), (2, 2), dtype=self.dtype,
+        u1 = nn.ConvTranspose(ch6, (2, 2), (2, 2), dtype=self.dtype,
                               param_dtype=jnp.float32, name="upsample1")(r1)
         up1 = jnp.concatenate([u1, x2], axis=-1)
-        p3 = RepBlock(chs[1], reps[1], dtype=self.dtype, name="rep_p3")(
+        p3 = RepBlock(ch6, reps[1], dtype=self.dtype, name="rep_p3")(
             up1, train
         )
 
-        d1 = BaseConv(chs[1], 3, 2, act="relu", bn_eps=1e-5,
+        d1 = BaseConv(ch7, 3, 2, act="relu", bn_eps=1e-5,
                       dtype=self.dtype, name="down1")(p3, train)
-        n4 = RepBlock(chs[2], reps[2], dtype=self.dtype, name="rep_n4")(
+        n4 = RepBlock(ch8, reps[2], dtype=self.dtype, name="rep_n3")(
             jnp.concatenate([d1, r1], axis=-1), train
         )
 
-        d0 = BaseConv(chs[2], 3, 2, act="relu", bn_eps=1e-5,
+        d0 = BaseConv(ch9, 3, 2, act="relu", bn_eps=1e-5,
                       dtype=self.dtype, name="down0")(n4, train)
-        n5 = RepBlock(chs[3], reps[3], dtype=self.dtype, name="rep_n5")(
+        n5 = RepBlock(ch10, reps[3], dtype=self.dtype, name="rep_n4")(
             jnp.concatenate([d0, r0], axis=-1), train
         )
         return (p3, n4, n5)

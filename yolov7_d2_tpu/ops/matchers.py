@@ -40,7 +40,7 @@ def auction_lap(
     R, C = benefit.shape
     # invalid columns get -inf benefit; invalid rows never bid.
     # optimization_barrier: materialize the benefit matrix before the loop —
-    # otherwise XLA can refuse its (cls/L1/GIoU cost) computation into every
+    # otherwise XLA can fuse its (cls/L1/GIoU cost) computation into every
     # auction iteration (same pathology measured at 26x in ops/nms.py).
     b = jax.lax.optimization_barrier(
         jnp.where(col_valid[None, :], benefit, NEG)

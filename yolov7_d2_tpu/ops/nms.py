@@ -157,7 +157,7 @@ def soft_nms(
     where new_scores are the decayed scores of the kept boxes.
     """
     n = boxes.shape[0]
-    # barrier: keep XLA from refusing the matrix into the loop (see nms_batched)
+    # barrier: keep XLA from fusing the matrix into the loop (see nms_batched)
     iou = jax.lax.optimization_barrier(pairwise_box_iou(boxes, boxes))
 
     def body(i, carry):

@@ -438,3 +438,319 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     for k, v in obj.items():
         out[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-3 mappers: the BASELINE-carrying stacks (VERDICT r2 item 1)
+# ---------------------------------------------------------------------------
+
+def map_resnetvd_torch_name(name: str, avg_down: bool = True):
+    """Reference resnetvd.py (timm-style) state-dict keys -> our ResNet
+    flax paths.
+
+    timm layout: deep stem ``conv1.{0,3,6}`` convs + ``conv1.{1,4}`` BNs +
+    ``bn1``; plain stem ``conv1``/``bn1``; stages ``layer{L}.{i}.conv{k}`` /
+    ``bn{k}`` / ``downsample.{...}`` (avg variant: pool at 0, conv at 1,
+    norm at 2; conv variant: conv at 0, norm at 1).
+    """
+    m = re.match(r"^conv1\.(\d)$", name)
+    if m:
+        idx = int(m.group(1))
+        return {0: ("stem1", "conv"), 1: ("stem1", "bn"),
+                3: ("stem2", "conv"), 4: ("stem2", "bn"),
+                6: ("stem3", "conv")}[idx]
+    if name == "conv1":
+        return ("stem", "conv")
+    if name == "bn1":
+        return ("stem3", "bn") if avg_down else ("stem", "bn")
+    m = re.match(r"^layer(\d)\.(\d+)\.(conv|bn)(\d)$", name)
+    if m:
+        lvl, i, kind, k = m.groups()
+        return (f"res{int(lvl) + 1}_{i}", f"conv{k}",
+                "conv" if kind == "conv" else "bn")
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.(\d)$", name)
+    if m:
+        lvl, i, j = m.groups()
+        j = int(j)
+        if avg_down:
+            leaf = {1: "conv", 2: "bn"}[j]
+        else:
+            leaf = {0: "conv", 1: "bn"}[j]
+        return (f"res{int(lvl) + 1}_{i}", "shortcut", leaf)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_resnetvd_plain_torch_name(name: str):
+    """Plain (7x7 stem, conv downsample) variant of the timm ResNet mapper."""
+    return map_resnetvd_torch_name(name, avg_down=False)
+
+
+def map_sparseinst_encoder_torch_name(name: str):
+    """Reference InstanceContextEncoder keys (encoder_sparseinst.py:73) ->
+    our encoder flax paths. ``fpn_laterals``/``fpn_outputs`` are ordered
+    deepest-first (c5, c4, c3)."""
+    m = re.match(r"^fpn_laterals\.(\d)$", name)
+    if m:
+        return (f"lateral{5 - int(m.group(1))}",)
+    m = re.match(r"^fpn_outputs\.(\d)$", name)
+    if m:
+        return (f"out{5 - int(m.group(1))}",)
+    m = re.match(r"^ppm\.stages\.(\d)\.1$", name)
+    if m:
+        return ("ppm", f"pool_conv_{m.group(1)}")
+    if name == "ppm.bottleneck":
+        return ("ppm", "bottleneck")
+    if name == "fusion":
+        return ("fusion",)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_sparseinst_decoder_torch_name(name: str):
+    """Reference Base/GroupIAMDecoder keys (decoder_sparseinst.py:107,246)
+    -> our IAMDecoder flax paths. ``inst_convs``/``mask_convs`` are
+    Sequential(conv, relu, ...) so convs sit at even indices."""
+    m = re.match(r"^inst_branch\.inst_convs\.(\d+)$", name)
+    if m:
+        return (f"inst_conv_{int(m.group(1)) // 2}",)
+    m = re.match(r"^mask_branch\.mask_convs\.(\d+)$", name)
+    if m:
+        return (f"mask_conv_{int(m.group(1)) // 2}",)
+    simple = {
+        "inst_branch.iam_conv": ("iam_conv",),
+        "inst_branch.fc": ("fc",),
+        "inst_branch.cls_score": ("cls_score",),
+        "inst_branch.mask_kernel": ("mask_kernel",),
+        "inst_branch.objectness": ("objectness",),
+        "mask_branch.projection": ("mask_proj",),
+    }
+    if name in simple:
+        return simple[name]
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_reppan_torch_name(name: str):
+    """Reference RepPANNeck keys (neck/reppan.py:6) -> our flax paths."""
+
+    def rep_leaf(rest: str) -> str:
+        if rest == "rbr_identity":
+            return "rbr_identity_bn"
+        return rest.replace(".", "_")
+
+    simple = {
+        "reduce_layer0": "reduce0", "reduce_layer1": "reduce1",
+        "downsample2": "down1", "downsample1": "down0",
+    }
+    m = re.match(r"^(reduce_layer0|reduce_layer1|downsample2|downsample1)"
+                 r"\.(conv|bn)$", name)
+    if m:
+        return (simple[m.group(1)], m.group(2))
+    m = re.match(r"^upsample(\d)\.upsample_transpose$", name)
+    if m:
+        return (f"upsample{m.group(1)}",)
+    m = re.match(r"^Rep_([pn]\d)\.conv1\.(.*)$", name)
+    if m:
+        return (f"rep_{m.group(1)}", "rep_0", rep_leaf(m.group(2)))
+    m = re.match(r"^Rep_([pn]\d)\.block\.(\d+)\.(.*)$", name)
+    if m:
+        return (f"rep_{m.group(1)}", f"rep_{int(m.group(2)) + 1}",
+                rep_leaf(m.group(3)))
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_effidehead_torch_name(name: str):
+    """Reference EffiDeHead keys (head/effidehead.py:7) -> our flax paths."""
+    m = re.match(r"^stems\.(\d)\.(conv|bn)$", name)
+    if m:
+        return (f"stem_{m.group(1)}", m.group(2))
+    m = re.match(r"^(cls|reg)_convs\.(\d)\.(conv|bn)$", name)
+    if m:
+        return (f"{m.group(1)}_conv_{m.group(2)}", m.group(3))
+    m = re.match(r"^(cls|reg|obj)_preds\.(\d)$", name)
+    if m:
+        return (f"{m.group(1)}_pred_{m.group(2)}",)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def convert_conv_transpose_weight(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d [I, O, kH, kW] -> flax ConvTranspose
+    [kH, kW, I, O]."""
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def port_reppan_state_dict(state_dict, variables, strict: bool = False):
+    """Pour a reference RepPANNeck state dict into our variables; handles
+    the ConvTranspose (``Transpose``) layout, which differs from regular
+    convs (torch [I, O, kh, kw])."""
+    transpose_keys = {}
+    rest = {}
+    for k, v in state_dict.items():
+        if re.match(r"^upsample\d\.upsample_transpose\.weight$", k):
+            transpose_keys[k] = v
+        else:
+            rest[k] = v
+    new_vars, report = port_torch_state_dict(
+        rest, variables, name_mapper=map_reppan_torch_name, strict=False
+    )
+    for k, v in transpose_keys.items():
+        module, _, _ = k.rpartition(".")
+        path = map_reppan_torch_name(module) + ("kernel",)
+        node = new_vars["params"]
+        for p in path[:-1]:
+            node = node[p]
+        w = convert_conv_transpose_weight(np.asarray(v))
+        assert node[path[-1]].shape == w.shape, (path, node[path[-1]].shape,
+                                                 w.shape)
+        node[path[-1]] = w.astype(node[path[-1]].dtype)
+        report["ported"].append(k)
+    if strict and report["unused"]:
+        raise KeyError(f"unmatched torch keys: {report['unused'][:20]}")
+    return new_vars, report
+
+
+def map_convnext_torch_name(name: str):
+    """Reference ConvNeXt keys (convnext.py:210) -> our flax paths."""
+    m = re.match(r"^downsample_layers\.0\.(\d)$", name)
+    if m:
+        return ("stem_conv",) if m.group(1) == "0" else ("stem_norm",)
+    m = re.match(r"^downsample_layers\.(\d)\.(\d)$", name)
+    if m:
+        s, j = m.groups()
+        return (f"down_norm_{s}",) if j == "0" else (f"down_conv_{s}",)
+    m = re.match(r"^stages\.(\d)\.(\d+)\.(dwconv|norm|pwconv1|pwconv2)$",
+                 name)
+    if m:
+        s, i, leafmod = m.groups()
+        return (f"stage{s}_block{i}", leafmod)
+    m = re.match(r"^stages\.(\d)\.(\d+)$", name)  # layer-scale gamma owner
+    if m:
+        return (f"stage{m.group(1)}_block{m.group(2)}",)
+    m = re.match(r"^norm(\d)$", name)
+    if m:
+        return (f"out_norm_{m.group(1)}",)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def port_convnext_state_dict(state_dict, variables, strict: bool = False):
+    """Pour a reference ConvNeXt state dict into our variables; handles the
+    per-block layer-scale ``gamma`` raw parameters."""
+    import jax
+
+    gammas = {}
+    rest = {}
+    for k, v in state_dict.items():
+        if k.endswith(".gamma"):
+            gammas[k] = v
+        else:
+            rest[k] = v
+    new_vars, report = port_torch_state_dict(
+        rest, variables, name_mapper=map_convnext_torch_name, strict=False
+    )
+    for k, v in gammas.items():
+        module, _, _ = k.rpartition(".")
+        path = map_convnext_torch_name(module) + ("gamma",)
+        node = new_vars["params"]
+        ok = True
+        for p in path[:-1]:
+            if p not in node:
+                ok = False
+                break
+            node = node[p]
+        if ok and path[-1] in node:
+            node[path[-1]] = np.asarray(v).astype(node[path[-1]].dtype)
+            report["ported"].append(k)
+        else:
+            report["unused"].append(k)
+    if strict and report["unused"]:
+        raise KeyError(f"unmatched torch keys: {report['unused'][:20]}")
+    return new_vars, report
+
+
+_SWIN_MERGE_PERM_BLOCKS = (0, 2, 1, 3)
+# torch PatchMerging concatenates [x0; x1; x2; x3] with x1=(row+1, col),
+# x2=(row, col+1); our reshape produces [(0,0), (0,1), (1,0), (1,1)] =
+# [x0; x2; x1; x3] — so torch channel block j lands at our block
+# _SWIN_MERGE_PERM_BLOCKS.index(j); equivalently our block i reads torch
+# block _SWIN_MERGE_PERM_BLOCKS[i].
+
+
+def _swin_merge_perm(c4: int) -> np.ndarray:
+    c = c4 // 4
+    idx = np.arange(c4).reshape(4, c)
+    return idx[list(_SWIN_MERGE_PERM_BLOCKS)].reshape(-1)
+
+
+def map_swin_torch_name(name: str):
+    """Reference Swin keys (swin_transformer.py:688) -> our flax paths."""
+    if name == "patch_embed.proj":
+        return ("patch_embed",)
+    if name == "patch_embed.norm":
+        return ("patch_norm",)
+    m = re.match(r"^layers\.(\d)\.blocks\.(\d+)\.(.*)$", name)
+    if m:
+        s, i, rest = m.groups()
+        rest = {
+            "norm1": "norm1", "norm2": "norm2",
+            "attn.qkv": "attn/qkv", "attn.proj": "attn/proj",
+            "mlp.fc1": "mlp1", "mlp.fc2": "mlp2",
+        }.get(rest, rest.replace(".", "/"))
+        return tuple(f"stage{s}_block{i}/{rest}".split("/"))
+    m = re.match(r"^layers\.(\d)\.downsample\.(norm|reduction)$", name)
+    if m:
+        return (f"merge_{int(m.group(1)) + 1}", m.group(2))
+    m = re.match(r"^norm(\d)$", name)
+    if m:
+        return (f"out_norm_{m.group(1)}",)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def port_swin_state_dict(state_dict, variables, strict: bool = False):
+    """Pour a reference Swin state dict into our variables:
+    * relative_position_bias_table -> our ``rel_pos_bias`` raw param
+    * PatchMerging norm/reduction channel-block permutation (concat-order
+      difference, see _SWIN_MERGE_PERM_BLOCKS)
+    """
+    special = {}
+    rest = {}
+    for k, v in state_dict.items():
+        if k.endswith("relative_position_index"):
+            continue  # recomputed, not a weight
+        if (k.endswith("relative_position_bias_table")
+                or ".downsample." in k):
+            special[k] = np.asarray(v)
+        else:
+            rest[k] = v
+    new_vars, report = port_torch_state_dict(
+        rest, variables, name_mapper=map_swin_torch_name, strict=False
+    )
+
+    def set_leaf(path, value):
+        node = new_vars["params"]
+        for p in path[:-1]:
+            node = node[p]
+        assert node[path[-1]].shape == value.shape, (
+            path, node[path[-1]].shape, value.shape)
+        node[path[-1]] = value.astype(node[path[-1]].dtype)
+
+    for k, v in special.items():
+        if k.endswith("relative_position_bias_table"):
+            module = k[: -len(".relative_position_bias_table")]
+            path = map_swin_torch_name(module) + ("rel_pos_bias",)
+            set_leaf(path, v)
+        elif k.endswith("norm.weight") or k.endswith("norm.bias"):
+            module, _, leaf = k.rpartition(".")
+            perm = _swin_merge_perm(v.shape[0])
+            path = map_swin_torch_name(module) + (
+                "scale" if leaf == "weight" else "bias",)
+            set_leaf(path, v[perm])
+        elif k.endswith("reduction.weight"):
+            module, _, _ = k.rpartition(".")
+            perm = _swin_merge_perm(v.shape[1])
+            path = map_swin_torch_name(module) + ("kernel",)
+            set_leaf(path, v[:, perm].T)
+        else:
+            report["unused"].append(k)
+            continue
+        report["ported"].append(k)
+    if strict and report["unused"]:
+        raise KeyError(f"unmatched torch keys: {report['unused'][:20]}")
+    return new_vars, report
