@@ -256,3 +256,92 @@ def test_fbnet_v3_arch_table_parity():
         assert not any(op.endswith("_se") for op in ops), name
     out = _run(FBNet(arch="FBNetV3_B_light_no_se"))
     assert set(out) == {"trunk2", "trunk3", "trunk4"}
+
+
+def test_fbnet_v2_builtin_name_surface():
+    """Every MODEL_ARCH_BUILTIN name the reference registers
+    (fbnet_v3.py:420-530) resolves through MODEL.FBNET_V2.ARCH, including
+    the trunk-alias names (default_dsmask, FBNetV3_B_light_large,
+    FBNetV3_G_fpn) and the suffix forms (_C4/_C5)."""
+    from yolov7_d2_tpu.models.backbones.mobile import resolve_fbnet_arch
+
+    reference_names = [
+        "default", "default_dsmask",
+        "FBNetV3_A", "FBNetV3_B", "FBNetV3_C", "FBNetV3_D", "FBNetV3_E",
+        "FBNetV3_F", "FBNetV3_G", "FBNetV3_H",
+        "FBNetV3_A_dsmask_C5", "FBNetV3_A_dsmask", "FBNetV3_A_dsmask_tiny",
+        "FBNetV3_B_light_large", "FBNetV3_G_fpn",
+    ]
+    for name in reference_names:
+        key, out = resolve_fbnet_arch(name)
+        assert key and out, name
+
+
+def test_fbnet_default_matches_reference_default_stages():
+    """The 'default' trunk is DEFAULT_STAGES verbatim (fbnet_v3.py:52-64):
+    32-ch stem, 16 e1, 24x2/32x3 e6, 64x4+96x3 e6, 160x3+320 e6."""
+    from yolov7_d2_tpu.models.backbones.mobile import FBNET_ARCH, FBNet
+
+    assert FBNET_ARCH["default"] == [
+        [("conv_k3", 32, 2, 1, 1), ("ir_k3", 16, 1, 1, 1)],
+        [("ir_k3", 24, 2, 2, 6)],
+        [("ir_k3", 32, 2, 3, 6)],
+        [("ir_k3", 64, 2, 4, 6), ("ir_k3", 96, 1, 3, 6)],
+        [("ir_k3", 160, 2, 3, 6), ("ir_k3", 320, 1, 1, 6)],
+    ]
+    assert FBNET_ARCH["default_dsmask"] == FBNET_ARCH["default"]
+    out = _run(FBNet(arch="default", out_features=("trunk3",)))
+    assert out["trunk3"].shape == (1, 4, 4, 96)  # stride 16, 96ch
+
+
+def test_fbnet_v2_builder_primitives():
+    """skip / ir_pool / _hs ops (the mobile_cv builder vocabulary the
+    reference's ARCH_DEF dicts use) build and run; skip is identity when
+    shape-preserving."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov7_d2_tpu.models.backbones.mobile import FBNet
+
+    stages = [
+        [("conv_k3_hs", 16, 2, 1, 1)],
+        [("ir_k3_hs", 24, 2, 1, 4), ("skip", 24, 1, 1, 1)],
+        [("ir_k5_se_hs", 32, 2, 1, 4)],
+        [("ir_pool", 64, 1, 1, 6)],
+    ]
+    m = FBNet(stages=stages, out_features=("trunk1", "trunk3"))
+    x = jnp.ones((1, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out["trunk1"].shape == (1, 16, 16, 24)
+    assert out["trunk3"].shape == (1, 1, 1, 64)  # ir_pool collapses to 1x1
+    # skip with matching channels+stride adds no params
+    names = jax.tree_util.tree_leaves_with_path(vars_["params"])
+    assert not any("s1_g1_b0" in jax.tree_util.keystr(p) for p, _ in names)
+
+
+def test_fbnet_arch_def_literal_path():
+    """MODEL.FBNET_V2.ARCH_DEF literal dicts (reference fbnet_v2.py:64-71)
+    build a backbone: mobile_cv-format tuples with {"expansion": N} dicts
+    and basic_args are normalized."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov7_d2_tpu.config import get_cfg
+    from yolov7_d2_tpu.models.backbones.mobile import build_fbnet_backbone
+
+    cfg = get_cfg()
+    cfg.MODEL.FBNET_V2.ARCH_DEF = [
+        {"trunk": [
+            [("conv_k3", 8, 2, 1)],
+            [("ir_k3", 16, 2, 2, {"expansion": 4})],
+            [("ir_k5", 24, 2, 1, {"expansion": 4}, {"less_se_channels": False})],
+        ]},
+        {"basic_args": {"dw_skip_bnrelu": True}},
+    ]
+    cfg.MODEL.FBNET_V2.OUT_FEATURES = ["trunk2"]
+    m = build_fbnet_backbone(cfg)
+    x = jnp.ones((1, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out["trunk2"].shape == (1, 8, 8, 24)

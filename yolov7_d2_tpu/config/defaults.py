@@ -306,6 +306,11 @@ def get_cfg() -> CfgNode:
 
     _C.MODEL.FBNET_V2 = CfgNode()
     _C.MODEL.FBNET_V2.ARCH = "default"
+    # literal arch-def dicts (reference fbnet_v2.py:64-71): a list of dicts
+    # merged in order; the merged dict's "trunk" is the mobile_cv-format
+    # stage table (op vocabulary: conv_k{1,3,5}, ir_k{3,5}, skip, ir_pool
+    # with _se/_hs modifiers; negative stride = upsample)
+    _C.MODEL.FBNET_V2.ARCH_DEF = []
     _C.MODEL.FBNET_V2.OUT_FEATURES = ["trunk3"]
     _C.MODEL.FBNET_V2.WIDTH_DIVISOR = 8
     _C.MODEL.FBNET_V2.SCALE_FACTOR = 1.0

@@ -17,24 +17,41 @@ from flax import linen as nn
 from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
 
 
+def _apply_act(x, act) -> jnp.ndarray:
+    """act: True/"relu6" (mobile default), "hswish" (the _hs op variants),
+    False/"none"."""
+    if act is True or act == "relu6":
+        return nn.relu6(x)
+    if act == "hswish":
+        return x * nn.relu6(x + 3.0) / 6.0
+    return x
+
+
 class ConvBNAct(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
-    act: bool = True
+    act: Any = True  # True/"relu6" | "hswish" | False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = (self.kernel - 1) // 2
+        if self.stride < 0:  # mobile_cv negative stride: 2x upsample
+            f = -self.stride
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * f, w * f, c), "nearest")
+            stride = 1
+        else:
+            stride = self.stride
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    (self.stride, self.stride), padding=[(p, p), (p, p)],
+                    (stride, stride), padding=[(p, p), (p, p)],
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
-        return (nn.relu6(x) if self.act else x).astype(self.dtype)
+        return _apply_act(x, self.act).astype(self.dtype)
 
 
 def _round_channels(c: float, divisor: int = 8) -> int:
@@ -78,6 +95,7 @@ class InvertedResidual(nn.Module):
     kernel: int = 3
     se: bool = False
     dw_skip_bnrelu: bool = False
+    act: Any = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -86,17 +104,25 @@ class InvertedResidual(nn.Module):
         mid = _round_channels(inp * self.expand)
         y = x
         if mid != inp:
-            y = ConvBNAct(mid, 1, dtype=self.dtype, name="expand")(y, train)
+            y = ConvBNAct(mid, 1, act=self.act, dtype=self.dtype,
+                          name="expand")(y, train)
+        if self.stride < 0:  # mobile_cv upsample op (head stages use -2)
+            f = -self.stride
+            b, h, w, c = y.shape
+            y = jax.image.resize(y, (b, h * f, w * f, c), "nearest")
+            stride = 1
+        else:
+            stride = self.stride
         if self.dw_skip_bnrelu:
             p = (self.kernel - 1) // 2
             y = nn.Conv(mid, (self.kernel, self.kernel),
-                        (self.stride, self.stride), padding=[(p, p), (p, p)],
+                        (stride, stride), padding=[(p, p), (p, p)],
                         feature_group_count=mid, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name="dw")(y)
         else:
-            y = ConvBNAct(mid, self.kernel, self.stride, groups=mid,
-                          dtype=self.dtype, name="dw")(y, train)
+            y = ConvBNAct(mid, self.kernel, stride, groups=mid,
+                          act=self.act, dtype=self.dtype, name="dw")(y, train)
         if self.se:
             y = SqueezeExcite(_round_channels(mid / 4), dtype=self.dtype,
                               name="se")(y)
@@ -107,6 +133,46 @@ class InvertedResidual(nn.Module):
         return y
 
 
+class IRPool(nn.Module):
+    """mobile_cv ``ir_pool`` head op: pw expand -> global average pool ->
+    activation -> pw project. Collapses the spatial map to 1x1 (used as the
+    final classification-head op in FBNetV2 arch defs)."""
+
+    out_channels: int
+    expand: float = 6.0
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x.shape[-1]
+        mid = _round_channels(inp * self.expand)
+        y = ConvBNAct(mid, 1, act=self.act, dtype=self.dtype,
+                      name="expand")(x, train)
+        y = jnp.mean(y.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        y = _apply_act(y, self.act).astype(self.dtype)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="project")(y)
+        return y
+
+
+class SkipOp(nn.Module):
+    """mobile_cv ``skip`` op: identity when shape-preserving, otherwise a
+    1x1 conv+BN bridge (channel or stride change)."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.stride == 1 and x.shape[-1] == self.out_channels:
+            return x
+        return ConvBNAct(self.out_channels, 1, self.stride, act=False,
+                         dtype=self.dtype, name="bridge")(x, train)
+
+
 # Stage tables: each stage is a list of (op, out_channels, stride, repeats,
 # expansion) groups; the first block of a group takes the stride, repeats run
 # at stride 1. op in {conv_k3, ir_k3, ir_k5, ir_k3_se, ir_k5_se}. These are
@@ -114,13 +180,17 @@ class InvertedResidual(nn.Module):
 # (/root/reference/yolov7/modeling/backbone/fbnet_v3.py:67-296, from
 # facebookresearch/mobile_cv), re-expressed as data.
 FBNET_ARCH = {
-    # FBNet-ish default (kept for MODEL.FBNET_V2.ARCH="default" back-compat)
+    # the reference's "default"/"default_dsmask" trunk — DEFAULT_STAGES
+    # verbatim (fbnet_v3.py:52-64; the MobileNetV2-like FBNetV2-builder
+    # default). Stages 0-3 are the detection trunk there ([0:4]); stage 4
+    # (160/320 e6) is DEFAULT_STAGES' "resolution stage 4", exposed here as
+    # trunk4 for stride-32 consumers.
     "default": [
-        [("conv_k3", 16, 2, 1, 1), ("ir_k3", 16, 1, 1, 1)],
+        [("conv_k3", 32, 2, 1, 1), ("ir_k3", 16, 1, 1, 1)],
         [("ir_k3", 24, 2, 2, 6)],
         [("ir_k3", 32, 2, 3, 6)],
-        [("ir_k3", 64, 2, 3, 6), ("ir_k3", 112, 1, 2, 6)],
-        [("ir_k3", 184, 2, 3, 6)],
+        [("ir_k3", 64, 2, 4, 6), ("ir_k3", 96, 1, 3, 6)],
+        [("ir_k3", 160, 2, 3, 6), ("ir_k3", 320, 1, 1, 6)],
     ],
     "FBNetV3_A_dsmask": [
         [("conv_k3", 16, 2, 1, 1), ("ir_k3", 16, 1, 1, 1)],
@@ -233,6 +303,40 @@ for _src in ("FBNetV3_A", "FBNetV3_B"):
         for stage in FBNET_ARCH[_src]
     ]
 
+# the remaining MODEL_ARCH_BUILTIN trunk names (reference fbnet_v3.py:420-527)
+# — every reference MODEL.FBNET_V2.ARCH value now resolves:
+# "default_dsmask" shares the default trunk (:429-436), "FBNetV3_B_light_large"
+# is the light-no-SE trunk (:512-519), "FBNetV3_G_fpn" is the full 5-stage G
+# trunk (:520-527).
+FBNET_ARCH["default_dsmask"] = FBNET_ARCH["default"]
+FBNET_ARCH["FBNetV3_B_light_large"] = FBNET_ARCH["FBNetV3_B_light_no_se"]
+FBNET_ARCH["FBNetV3_G_fpn"] = FBNET_ARCH["FBNetV3_G"]
+
+
+def normalize_arch_def(arch_def) -> list:
+    """Normalize a reference-style ARCH_DEF (mobile_cv block tuples, e.g.
+    ``("ir_k5", 40, 2, 1, {"expansion": 4}, {...})``) into this module's
+    ``(op, channels, stride, repeats, expansion)`` rows. Supports the cfg
+    literal-dict path (reference fbnet_v2.py:64-71 _merge_fbnetv2_arch_def):
+    pass the merged dict's "trunk" list."""
+    stages = []
+    for stage in arch_def:
+        rows = []
+        for blk in stage:
+            blk = list(blk)
+            op, c, s = blk[0], int(blk[1]), int(blk[2])
+            n = int(blk[3]) if len(blk) > 3 else 1
+            e = 6.0
+            for extra in blk[4:]:
+                if isinstance(extra, dict):
+                    if "expansion" in extra:
+                        e = float(extra["expansion"])
+                elif isinstance(extra, (int, float)):
+                    e = float(extra)
+            rows.append((op, c, s, n, e))
+        stages.append(rows)
+    return stages
+
 
 def resolve_fbnet_arch(name: str) -> Tuple[str, Tuple[str, ...]]:
     """Resolve an ARCH name like ``FBNetV3_A_dsmask_C5`` into a stage-table
@@ -250,34 +354,67 @@ def resolve_fbnet_arch(name: str) -> Tuple[str, Tuple[str, ...]]:
     return name, out
 
 
+def _parse_op(op: str):
+    """``ir_k5_se_hs`` -> (base, kernel, se, act). Base ops: conv_k{1,3,5},
+    ir_k{3,5}, skip, ir_pool; modifiers: _se (squeeze-excite), _hs
+    (hard-swish) — the mobile_cv builder-op vocabulary the reference's
+    ARCH_DEF dicts draw from."""
+    act: Any = True
+    if op.endswith("_hs"):
+        act, op = "hswish", op[:-3]
+    se = False
+    if op.endswith("_se"):
+        se, op = True, op[:-3]
+    if op in ("skip", "ir_pool"):
+        return op, 0, se, act
+    base, _, k = op.rpartition("_k")
+    if base not in ("conv", "ir") or not k.isdigit():
+        raise ValueError(f"unknown FBNet builder op '{op}'")
+    return base, int(k), se, act
+
+
 class FBNet(nn.Module):
     """FBNetV2/V3 trunk built from a stage table. Stage i's output is
-    ``trunk{i}`` (stride ``2**(i+1)``)."""
+    ``trunk{i}`` (stride ``2**(i+1)``). ``stages`` overrides the named
+    table (the MODEL.FBNET_V2.ARCH_DEF literal path); only stages feeding
+    a requested out_feature are built, so the parameter surface matches
+    the reference's per-arch trunk split (e.g. trunk=[0:4])."""
 
     arch: str = "default"
     out_features: Sequence[str] = ("trunk2", "trunk3", "trunk4")
     scale_factor: float = 1.0
     dw_skip_bnrelu: bool = True
+    stages: Any = None  # optional explicit stage table (normalized rows)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
-        stages = FBNET_ARCH[self.arch]
+        stages = self.stages if self.stages is not None else FBNET_ARCH[self.arch]
+        wanted = {int(f[5:]) for f in self.out_features}
+        last = max(wanted)
         outputs: Dict[str, jnp.ndarray] = {}
         for si, stage in enumerate(stages):
+            if si > last:
+                break
             for gi, (op, c, s, n, e) in enumerate(stage):
+                base, kernel, se, act = _parse_op(op)
                 c = _round_channels(c * self.scale_factor)
                 for bi in range(n):
                     stride = s if bi == 0 else 1
                     name = f"s{si}_g{gi}_b{bi}"
-                    if op == "conv_k3":
-                        x = ConvBNAct(c, 3, stride, dtype=self.dtype,
-                                      name=name)(x, train)
+                    if base == "conv":
+                        x = ConvBNAct(c, kernel, stride, act=act,
+                                      dtype=self.dtype, name=name)(x, train)
+                    elif base == "skip":
+                        x = SkipOp(c, stride, dtype=self.dtype,
+                                   name=name)(x, train)
+                    elif base == "ir_pool":
+                        x = IRPool(c, e, act=act, dtype=self.dtype,
+                                   name=name)(x, train)
                     else:
-                        kernel = int(op.split("_k")[1][0])
                         x = InvertedResidual(
-                            c, stride, e, kernel, se=op.endswith("_se"),
-                            dw_skip_bnrelu=self.dw_skip_bnrelu,
+                            c, stride, e, kernel, se=se,
+                            dw_skip_bnrelu=self.dw_skip_bnrelu, act=act,
                             dtype=self.dtype, name=name,
                         )(x, train)
             outputs[f"trunk{si}"] = x
@@ -357,6 +494,21 @@ class MobileViT(nn.Module):
 
 @BACKBONE_REGISTRY.register()
 def build_fbnet_backbone(cfg, dtype=jnp.float32):
+    arch_def = list(cfg.MODEL.FBNET_V2.get("ARCH_DEF", []))
+    if arch_def:
+        # reference fbnet_v2.py:64-71: ARCH_DEF is a list of dicts merged
+        # into one arch dict; its "trunk" is the backbone stage table
+        merged: dict = {}
+        for d in arch_def:
+            merged.update(d)
+        basic = merged.get("basic_args", {})
+        return FBNet(
+            stages=normalize_arch_def(merged["trunk"]),
+            out_features=tuple(cfg.MODEL.FBNET_V2.OUT_FEATURES),
+            scale_factor=cfg.MODEL.FBNET_V2.SCALE_FACTOR,
+            dw_skip_bnrelu=bool(basic.get("dw_skip_bnrelu", True)),
+            dtype=dtype,
+        )
     arch, default_out = resolve_fbnet_arch(cfg.MODEL.FBNET_V2.ARCH)
     out = tuple(cfg.MODEL.FBNET_V2.OUT_FEATURES) or default_out
     # a C4/C5-suffixed ARCH overrides the generic OUT_FEATURES default
@@ -367,6 +519,54 @@ def build_fbnet_backbone(cfg, dtype=jnp.float32):
         out_features=out,
         scale_factor=cfg.MODEL.FBNET_V2.SCALE_FACTOR,
         dtype=dtype,
+    )
+
+
+@BACKBONE_REGISTRY.register(name="FBNetV2C4Backbone")
+def build_fbnet_c4_backbone(cfg, dtype=jnp.float32):
+    """The reference's registry name for the plain FBNet trunk
+    (fbnet_v2.py:302-310 FBNetV2C4Backbone wraps build_fbnet_backbone)."""
+    return build_fbnet_backbone(cfg, dtype=dtype)
+
+
+class _FBNetFPN(nn.Module):
+    """FBNet trunk + FPN over MODEL.FPN.IN_FEATURES (reference
+    FBNetV2FpnBackbone, fbnet_v2.py:321-331)."""
+
+    trunk: Any
+    in_features: Sequence[str] = ("trunk1", "trunk2", "trunk3", "trunk4")
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        from yolov7_d2_tpu.models.necks.fpn import FPN
+
+        feats = self.trunk(x, train)
+        # trunk{i} has stride 2**(i+1) -> FPN level p{i+1}
+        first = int(self.in_features[0][5:]) + 1
+        return FPN(
+            out_channels=self.out_channels, first_level=first,
+            dtype=self.dtype, name="fpn",
+        )([feats[f] for f in self.in_features], train)
+
+
+@BACKBONE_REGISTRY.register(name="FBNetV2FpnBackbone")
+def build_fbnet_fpn_backbone(cfg, dtype=jnp.float32):
+    in_features = tuple(cfg.MODEL.FPN.IN_FEATURES) or (
+        "trunk1", "trunk2", "trunk3", "trunk4"
+    )
+    if not all(f.startswith("trunk") for f in in_features):
+        in_features = ("trunk1", "trunk2", "trunk3", "trunk4")
+    arch, _ = resolve_fbnet_arch(cfg.MODEL.FBNET_V2.ARCH)
+    trunk = FBNet(
+        arch=arch, out_features=in_features,
+        scale_factor=cfg.MODEL.FBNET_V2.SCALE_FACTOR,
+        dtype=dtype, name="bottom_up",
+    )
+    return _FBNetFPN(
+        trunk=trunk, in_features=in_features,
+        out_channels=cfg.MODEL.FPN.OUT_CHANNELS, dtype=dtype,
     )
 
 
