@@ -15,6 +15,8 @@ cfg.MODEL.YOLO.DEPTH_MUL = 0.33
 cfg.MODEL.YOLO.WIDTH_MUL = 0.50
 cfg.INPUT.INPUT_SIZE = [640, 640]
 cfg.SOLVER.AMP.ENABLED = True
+if len(sys.argv) > 2 and sys.argv[2].isdigit():
+    cfg.MODEL.YOLO.SIMOTA_PREFILTER_TOPK = int(sys.argv[2])
 
 model, state, train_step, _fields = build_system(cfg, batch_size=2)
 batch = dummy_batch(cfg, batch_size=BS)

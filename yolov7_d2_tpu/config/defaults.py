@@ -75,10 +75,22 @@ def get_cfg() -> CfgNode:
     _C.MODEL.RPN.PRE_NMS_TOPK = 256     # per level, static
     _C.MODEL.RPN.POST_NMS_TOPK = 128    # fixed proposal count
     _C.MODEL.RPN.NMS_THRESH = 0.7
+    # d2 RPN sampling (reference mask_rcnn_fpn.py:46-47)
+    _C.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    _C.MODEL.RPN.POSITIVE_FRACTION = 0.5
     _C.MODEL.ROI_HEADS = CfgNode()
     _C.MODEL.ROI_HEADS.NUM_CLASSES = 80
     _C.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
     _C.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    # d2 ROI sampling (reference mask_rcnn_fpn.py:53-55);
+    # SAMPLE_MODE "sampled" = d2 random fixed-size subsample,
+    # "expectation" = dense weighted matching (its expectation)
+    _C.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    _C.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    _C.MODEL.ROI_HEADS.SAMPLE_MODE = "sampled"
+    _C.MODEL.ROI_BOX_HEAD = CfgNode()
+    # d2 default: per-class box regression
+    _C.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
     _C.MODEL.SEM_SEG_HEAD = CfgNode()
     _C.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 54
     _C.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4

@@ -284,9 +284,17 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
         if arch == "MaskRCNN" and cfg.MODEL.MASK_ON:
             fields = ("image", "gt_masks", "gt_boxes", "gt_classes", "gt_valid")
 
-        def loss_fn(out, batch, use_l1_flag):
+        _roi = cfg.MODEL.ROI_HEADS
+
+        def loss_fn(out, batch, use_l1_flag, rng=None):
             return mask_rcnn_losses(
-                out, batch, cfg.MODEL.ROI_HEADS.NUM_CLASSES
+                out, batch, _roi.NUM_CLASSES,
+                sample_mode=_roi.SAMPLE_MODE,
+                rpn_batch=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+                rpn_pos_frac=cfg.MODEL.RPN.POSITIVE_FRACTION,
+                roi_batch=_roi.BATCH_SIZE_PER_IMAGE,
+                roi_pos_frac=_roi.POSITIVE_FRACTION,
+                rng=rng,
             )
 
     elif arch == "PanopticFPN":
@@ -297,11 +305,13 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
             "gt_sem_seg",
         )
 
-        def loss_fn(out, batch, use_l1_flag):
+        def loss_fn(out, batch, use_l1_flag, rng=None):
             return panoptic_losses(
                 out, batch,
                 cfg.MODEL.ROI_HEADS.NUM_CLASSES,
                 cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+                sample_mode=cfg.MODEL.ROI_HEADS.SAMPLE_MODE,
+                rng=rng,
             )
 
     elif arch == "YOLOMask":

@@ -90,8 +90,13 @@ class YOLOXHead(nn.Module):
             grids.append(jnp.stack([xs, ys], axis=-1).reshape(h * w, 2))
             stride_vec.append(jnp.full((h * w,), stride, jnp.float32))
 
+        # keep the assembled [B, A, 5+C] in the compute dtype: the conv
+        # outputs are already dtype-precise (bf16 under AMP), so the old
+        # blanket f32 cast only doubled the HBM traffic of this concat, the
+        # loss-side row-gather, and their backward splits/scatters; the loss
+        # converts to f32 exactly where f32 math starts (decode/BCE)
         return {
-            "outputs": jnp.concatenate(level_outputs, axis=1).astype(jnp.float32),
+            "outputs": jnp.concatenate(level_outputs, axis=1),
             "grids": jnp.concatenate(grids, axis=0),
             "strides": jnp.concatenate(stride_vec, axis=0),
         }
@@ -104,6 +109,7 @@ def decode_outputs(
 
     Returns (boxes_cxcywh [.., A, 4], obj_logits [.., A], cls_logits [.., A, C]).
     """
+    outputs = outputs.astype(jnp.float32)
     xy = (outputs[..., 0:2] + grids) * strides[..., None]
     # clamp the exp argument: raw wh logits past ~11 (boxes > 65k px at
     # stride 32) are always divergence, and the unbounded exp creates a
@@ -265,34 +271,35 @@ def _simota_core(
     # passes over [G, A]) is far cheaper than sorting 8400 lanes.
     masked_iou = jnp.where(candidate, pair_iou, 0.0)
 
-    def _extract_max(i, carry):
-        total, cur = carry
+    # UNROLLED extraction (k is a small static bound): a fori_loop body is
+    # compiled as its own region, so each of the 2x10 iterations re-reads
+    # the [G, A] matrix from HBM; unrolling lets XLA fuse the whole
+    # reduce->mask chain into far fewer passes. The min-extraction records
+    # every iteration's minimum into a [k, G] stack and picks the
+    # dynamic_k-th afterwards, which also decouples it from the
+    # max-extraction's result so both chains schedule freely.
+    cur = masked_iou
+    iou_sum = jnp.zeros(masked_iou.shape[0])
+    for _ in range(topk_candidates):
         m = jnp.max(cur, axis=-1)                            # [G]
-        total = total + jnp.maximum(m, 0.0)
+        iou_sum = iou_sum + jnp.maximum(m, 0.0)
         cur = jnp.where(cur >= m[:, None], -jnp.inf, cur)
-        return total, cur
-
-    iou_sum, _ = jax.lax.fori_loop(
-        0, topk_candidates, _extract_max,
-        (jnp.zeros(masked_iou.shape[0]), masked_iou),
-    )
     dynamic_ks = jnp.clip(
         iou_sum.astype(jnp.int32), min=1, max=topk_candidates
     )  # [G]
 
     # per-gt: select its dynamic_k lowest-cost anchors via the k-th smallest
     # cost as a threshold, again by bounded min-extraction instead of top_k.
-    def _extract_min(i, carry):
-        kth, cur = carry
+    cur = cost
+    mins = []
+    for _ in range(topk_candidates):
         m = jnp.min(cur, axis=-1)                            # [G]
-        kth = jnp.where(i == dynamic_ks - 1, m, kth)
+        mins.append(m)
         cur = jnp.where(cur <= m[:, None], jnp.inf, cur)
-        return kth, cur
-
-    kth, _ = jax.lax.fori_loop(
-        0, topk_candidates, _extract_min,
-        (jnp.full((cost.shape[0],), jnp.inf), cost),
-    )
+    kth_stack = jnp.stack(mins)                              # [k, G]
+    kth = jnp.take_along_axis(
+        kth_stack, (dynamic_ks - 1)[None, :], axis=0
+    )[0]                                                     # [G]
     matching = (cost <= kth[:, None]) & candidate            # [G, A] bool
 
     # resolve anchors claimed by multiple gts: keep the min-cost gt
@@ -362,7 +369,7 @@ def yolox_losses(
         def _prefilter_one(out_img, gb, gv):
             in_box, in_center = _geometry_prior(grids, strides, gb)
             cand_any = jnp.any((in_box | in_center) & gv[:, None], axis=0)
-            sel = _prefilter_key(cand_any, out_img[:, 4])
+            sel = _prefilter_key(cand_any, out_img[:, 4].astype(jnp.float32))
             # top_k orders by value; re-sort by POSITION so the row-gather
             # of outputs (and its scatter-add transpose in the backward)
             # walks HBM near-sequentially instead of value-ordered.
@@ -371,7 +378,9 @@ def yolox_losses(
         top_idx = jax.vmap(_prefilter_one)(
             jax.lax.stop_gradient(outputs), gt_boxes_xyxy, gt_valid
         )  # [B, K]
-        out_k = jnp.take_along_axis(outputs, top_idx[..., None], axis=1)
+        out_k = jnp.take_along_axis(
+            outputs, top_idx[..., None], axis=1
+        ).astype(jnp.float32)
         # one fused row-gather for the anchor geometry (separate [A, 2] and
         # [A] gathers each cost ~2ms/step @bs128 as scattered reads)
         geom = jnp.concatenate([grids, strides[:, None]], axis=-1)  # [A, 3]
@@ -394,7 +403,8 @@ def yolox_losses(
             gt_boxes_xyxy, gt_classes, gt_valid,
         )
     else:
-        out_k, grids_k, strides_k = outputs, grids, strides
+        out_k = outputs.astype(jnp.float32)
+        grids_k, strides_k = grids, strides
         boxes_cxcywh, obj_logits, cls_logits = decode_outputs(
             outputs, grids, strides
         )
@@ -451,7 +461,9 @@ def yolox_losses(
             lambda i, f: jnp.zeros((a_total,)).at[i].set(f)
         )(top_idx, fg_f)
         loss_obj = jnp.sum(
-            sigmoid_binary_cross_entropy(outputs[..., 4], obj_target)
+            sigmoid_binary_cross_entropy(
+                outputs[..., 4].astype(jnp.float32), obj_target
+            )
         ) / num_fg
     else:
         loss_obj = jnp.sum(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -132,6 +133,15 @@ class Bottleneck(nn.Module):
         return y
 
 
+def _maxpool_stride1(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Stride-1 kxk same-padded maxpool. (A separable shifted-max variant
+    with a jnp.maximum-tree backward was tried against the
+    select_and_scatter backward and measured SLOWER end-to-end — 182.5 vs
+    179.3 ms/step @bs128 — so reduce_window stays; see docs/PERF.md r3.)"""
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)])
+
+
 class SPPBottleneck(nn.Module):
     """Spatial pyramid pooling block (wrappers.py:142): 1x1 -> parallel
     maxpools (5/9/13) -> concat -> 1x1."""
@@ -163,21 +173,13 @@ class SPPBottleneck(nn.Module):
         pools = [x]
         if cascade:
             k = ks[0]
-            p = k // 2
             y = x
             for _ in ks:
-                y = nn.max_pool(
-                    y, (k, k), strides=(1, 1), padding=[(p, p), (p, p)]
-                )
+                y = _maxpool_stride1(y, k)
                 pools.append(y)
         else:
             for k in ks:
-                p = k // 2
-                pools.append(
-                    nn.max_pool(
-                        x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)]
-                    )
-                )
+                pools.append(_maxpool_stride1(x, k))
         x = jnp.concatenate(pools, axis=-1)
         return BaseConv(
             self.out_channels, 1, 1, act=self.act, bn_eps=self.bn_eps,

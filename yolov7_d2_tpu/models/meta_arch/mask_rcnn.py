@@ -115,6 +115,9 @@ class MaskRCNN(nn.Module):
     roi_size: int = 7
     mask_pool_size: int = 14
     fc_dim: int = 1024
+    # d2 default: per-class box regression (one delta row per fg class,
+    # d2 FastRCNNOutputLayers); True restores the class-agnostic single row
+    cls_agnostic_bbox_reg: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -213,8 +216,15 @@ class MaskRCNN(nn.Module):
                               name="box_fc2")(h1))
         cls_logits = nn.Dense(self.num_classes + 1, param_dtype=jnp.float32,
                               name="cls_score")(h2)
-        box_deltas = nn.Dense(4, param_dtype=jnp.float32,
-                              name="bbox_pred")(h2)   # class-agnostic
+        if self.cls_agnostic_bbox_reg:
+            box_deltas = nn.Dense(4, param_dtype=jnp.float32,
+                                  name="bbox_pred")(h2)        # [B, P, 4]
+        else:
+            # d2 FastRCNNOutputLayers: one delta row per foreground class
+            box_deltas = nn.Dense(
+                self.num_classes * 4, param_dtype=jnp.float32,
+                name="bbox_pred",
+            )(h2).reshape(b, self.num_proposals, self.num_classes, 4)
 
         out = {
             "rpn_obj": jnp.concatenate(obj_all, axis=1),
@@ -260,6 +270,20 @@ class MaskRCNN(nn.Module):
 ROI_DELTA_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 
 
+def _random_subset_mask(eligible, n_take, rng):
+    """Static-shape analogue of d2's ``subsample_labels`` draw: a boolean
+    mask selecting ``min(n_take, eligible.sum())`` uniformly-random True
+    positions of ``eligible``. Implemented by ranking a lexicographic
+    (eligible, uniform) key — all eligible elements sort first in random
+    order — and thresholding the rank."""
+    n = eligible.shape[0]
+    u = jax.random.uniform(rng, (n,))
+    order = jnp.argsort(-(eligible.astype(jnp.float32) * 2.0 + u))
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    n_take = jnp.minimum(n_take, eligible.sum())
+    return eligible & (rank < n_take)
+
+
 def mask_rcnn_losses(
     out: Dict[str, jnp.ndarray],
     batch: Dict[str, jnp.ndarray],
@@ -267,10 +291,33 @@ def mask_rcnn_losses(
     rpn_pos_iou: float = 0.7,
     rpn_neg_iou: float = 0.3,
     roi_pos_iou: float = 0.5,
+    sample_mode: str = "expectation",
+    rpn_batch: int = 256,
+    rpn_pos_frac: float = 0.5,
+    roi_batch: int = 512,
+    roi_pos_frac: float = 0.25,
+    rng: Optional[jax.Array] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Masked dense matching (no sampling loops): every anchor/proposal gets
-    fg/bg weights; losses are weighted means — the expectation of d2's
-    random 256/512-sampling."""
+    """Two training-semantics modes behind ``sample_mode``:
+
+    * ``"expectation"``: masked dense matching — every anchor/proposal gets
+      fg/bg weights; losses are weighted means (the expectation of d2's
+      random sampling). Deterministic, no rng needed.
+    * ``"sampled"``: d2 fidelity (reference
+      configs/common/models/mask_rcnn_fpn.py:46-55) — per image, a random
+      fixed-size subsample: RPN ``rpn_batch`` anchors at ``rpn_pos_frac``
+      positives, ROI ``roi_batch`` proposals at ``roi_pos_frac`` positives
+      (d2 ``subsample_labels``: n_pos = min(frac*batch, fg), remainder
+      filled with negatives), losses normalized by the sampled count.
+      Static shapes via _random_subset_mask; requires ``rng``.
+
+    Per-class ``box_deltas`` ([B, P, C, 4], d2 FastRCNNOutputLayers) select
+    the matched-class row for foreground proposals; class-agnostic
+    ([B, P, 4]) use the single row.
+    """
+    sampled = sample_mode == "sampled"
+    if sampled and rng is None:
+        raise ValueError("sample_mode='sampled' requires an rng")
     gt_boxes = batch["gt_boxes"]
     gt_classes = batch["gt_classes"]
     gt_valid = batch["gt_valid"]
@@ -279,7 +326,7 @@ def mask_rcnn_losses(
     has_masks = "gt_masks" in batch and "mask_logits" in out
 
     def per_image(rpn_obj, rpn_deltas, props, prop_valid, cls_logits,
-                  box_deltas, mask_logits, gmasks, gts, gcls, gval):
+                  box_deltas, mask_logits, gmasks, gts, gcls, gval, rng_i):
         # ---------------- RPN
         ious = pairwise_box_iou(anchors, gts)      # [A, G]
         ious = jnp.where(gval[None, :], ious, 0.0)
@@ -292,15 +339,34 @@ def mask_rcnn_losses(
             jnp.where(gval, True, is_fg[jnp.clip(best_anchor, 0)])
         )
         is_bg = (best_iou < rpn_neg_iou) & ~is_fg
-        wsum = jnp.maximum(is_fg.sum() + is_bg.sum(), 1.0)
-        obj_t = is_fg.astype(jnp.float32)
-        l_obj = (
-            sigmoid_binary_cross_entropy(rpn_obj, obj_t)
-            * (is_fg | is_bg)
-        ).sum() / wsum
-        t_deltas = encode_deltas(anchors, gts[best_gt])
-        l1 = jnp.abs(rpn_deltas - t_deltas).sum(-1)
-        l_rpn_box = (l1 * is_fg).sum() / jnp.maximum(is_fg.sum(), 1.0)
+        if sampled:
+            # d2 RPN sampling: 256/image, 50% positive fraction; negatives
+            # fill whatever the positives leave (subsample_labels)
+            r1, r2, r3, r4 = jax.random.split(rng_i, 4)
+            n_pos_t = jnp.int32(round(rpn_batch * rpn_pos_frac))
+            sel_fg = _random_subset_mask(is_fg, n_pos_t, r1)
+            n_neg_t = rpn_batch - sel_fg.sum()
+            sel_bg = _random_subset_mask(is_bg, n_neg_t, r2)
+            norm = jnp.maximum(sel_fg.sum() + sel_bg.sum(), 1.0)
+            obj_t = sel_fg.astype(jnp.float32)
+            l_obj = (
+                sigmoid_binary_cross_entropy(rpn_obj, obj_t)
+                * (sel_fg | sel_bg)
+            ).sum() / norm
+            t_deltas = encode_deltas(anchors, gts[best_gt])
+            l1 = jnp.abs(rpn_deltas - t_deltas).sum(-1)
+            # d2 normalizes RPN localization by the same sampled-batch count
+            l_rpn_box = (l1 * sel_fg).sum() / norm
+        else:
+            wsum = jnp.maximum(is_fg.sum() + is_bg.sum(), 1.0)
+            obj_t = is_fg.astype(jnp.float32)
+            l_obj = (
+                sigmoid_binary_cross_entropy(rpn_obj, obj_t)
+                * (is_fg | is_bg)
+            ).sum() / wsum
+            t_deltas = encode_deltas(anchors, gts[best_gt])
+            l1 = jnp.abs(rpn_deltas - t_deltas).sum(-1)
+            l_rpn_box = (l1 * is_fg).sum() / jnp.maximum(is_fg.sum(), 1.0)
 
         # ---------------- ROI heads
         pious = pairwise_box_iou(props, gts)       # [P, G]
@@ -309,16 +375,37 @@ def mask_rcnn_losses(
         p_gt = pious.argmax(axis=1)
         p_fg = (p_best >= roi_pos_iou) & prop_valid
         p_bg = (~p_fg) & prop_valid
+        if sampled:
+            # d2 ROI sampling: 512/image at 25% positives
+            n_pos_t = jnp.int32(round(roi_batch * roi_pos_frac))
+            p_fg = _random_subset_mask(p_fg, n_pos_t, r3)
+            n_neg_t = roi_batch - p_fg.sum()
+            p_bg = _random_subset_mask(p_bg, n_neg_t, r4)
+            p_sel = p_fg | p_bg
+        else:
+            p_sel = prop_valid
         target_cls = jnp.where(p_fg, gcls[p_gt], num_classes)  # bg = C
-        n_valid = jnp.maximum(prop_valid.sum(), 1.0)
+        n_sel = jnp.maximum(p_sel.sum(), 1.0)
         ce = -jax.nn.log_softmax(cls_logits)[
             jnp.arange(cls_logits.shape[0]), target_cls
         ]
-        l_cls = (ce * prop_valid).sum() / n_valid
+        l_cls = (ce * p_sel).sum() / n_sel
         t_roi = encode_deltas(props, gts[p_gt], ROI_DELTA_WEIGHTS)
+        if box_deltas.ndim == 3:
+            # per-class regression: the matched class's delta row
+            # (d2 FastRCNNOutputLayers.losses gather on gt_classes)
+            cls_rows = jnp.clip(target_cls, 0, num_classes - 1)
+            fg_deltas = jnp.take_along_axis(
+                box_deltas, cls_rows[:, None, None], axis=1
+            )[:, 0]                               # [P, 4]
+        else:
+            fg_deltas = box_deltas
+        # d2 fast_rcnn: box loss summed over fg, normalized by the total
+        # sampled count (gt_classes.numel()) in sampled mode
+        box_norm = n_sel if sampled else jnp.maximum(p_fg.sum(), 1.0)
         l_roi_box = (
-            jnp.abs(box_deltas - t_roi).sum(-1) * p_fg
-        ).sum() / jnp.maximum(p_fg.sum(), 1.0)
+            jnp.abs(fg_deltas - t_roi).sum(-1) * p_fg
+        ).sum() / box_norm
 
         losses = {
             "loss_rpn_cls": l_obj,
@@ -362,10 +449,16 @@ def mask_rcnn_losses(
             out["cls_logits"].shape[:2] + (1, 1, 1), jnp.float32
         )
     )
+    b = gt_boxes.shape[0]
+    rngs = (
+        jax.random.split(rng, b)
+        if sampled
+        else jnp.zeros((b, 2), jnp.uint32)
+    )
     per = jax.vmap(per_image)(
         out["rpn_obj"], out["rpn_deltas"], out["proposals"],
         out["proposal_valid"], out["cls_logits"], out["box_deltas"],
-        dummy_mlogits, dummy_masks, gt_boxes, gt_classes, gt_valid,
+        dummy_mlogits, dummy_masks, gt_boxes, gt_classes, gt_valid, rngs,
     )
     totals = {k: v.mean() for k, v in per.items()}
     totals["total_loss"] = sum(totals.values())
@@ -382,7 +475,13 @@ def mask_rcnn_postprocess(
     probs = jax.nn.softmax(out["cls_logits"], -1)[..., :-1]  # drop bg
     scores = probs.max(-1)
     classes = probs.argmax(-1)
-    boxes = decode_deltas(props, out["box_deltas"], ROI_DELTA_WEIGHTS)
+    deltas = out["box_deltas"]
+    if deltas.ndim == 4:
+        # per-class regression: the predicted class's delta row
+        deltas = jnp.take_along_axis(
+            deltas, classes[..., None, None], axis=2
+        )[..., 0, :]
+    boxes = decode_deltas(props, deltas, ROI_DELTA_WEIGHTS)
     scores = jnp.where(
         (scores >= score_threshold) & out["proposal_valid"], scores, 0.0
     )
@@ -411,6 +510,7 @@ def build_mask_rcnn(cfg, dtype: Optional[Any] = None):
         mask_on=cfg.MODEL.MASK_ON,
         num_proposals=cfg.MODEL.RPN.POST_NMS_TOPK,
         pre_nms_topk=cfg.MODEL.RPN.PRE_NMS_TOPK,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
         dtype=dtype,
     )
 
@@ -425,5 +525,6 @@ def build_faster_rcnn(cfg, dtype: Optional[Any] = None):
         mask_on=False,
         num_proposals=cfg.MODEL.RPN.POST_NMS_TOPK,
         pre_nms_topk=cfg.MODEL.RPN.PRE_NMS_TOPK,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
         dtype=dtype,
     )

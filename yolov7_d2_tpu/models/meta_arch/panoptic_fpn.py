@@ -75,10 +75,14 @@ def panoptic_losses(
     num_classes: int,
     sem_seg_classes: int,
     sem_weight: float = 0.5,
+    sample_mode: str = "expectation",
+    rng=None,
 ) -> Dict[str, jnp.ndarray]:
     from yolov7_d2_tpu.models.meta_arch.mask_rcnn import mask_rcnn_losses
 
-    losses = mask_rcnn_losses(out, batch, num_classes)
+    losses = mask_rcnn_losses(
+        out, batch, num_classes, sample_mode=sample_mode, rng=rng
+    )
     if "gt_sem_seg" in batch and "sem_seg_logits" in out:
         logits = out["sem_seg_logits"]            # [B, Hs, Ws, S]
         hs, ws = logits.shape[1], logits.shape[2]

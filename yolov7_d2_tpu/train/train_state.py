@@ -67,13 +67,18 @@ def make_train_step(
 ) -> Callable:
     """Build the jittable train step.
 
-    ``loss_fn(head_out, batch, use_l1) -> dict with 'total_loss'``.
+    ``loss_fn(head_out, batch, use_l1) -> dict with 'total_loss'``; a
+    loss_fn declaring an ``rng`` keyword additionally receives a per-step
+    key (stochastic losses, e.g. Mask R-CNN's d2-style ROI subsampling).
     ``use_l1_after`` reproduces the reference's L1-enable broadcast
     (yolox.py:105-121) as a deterministic function of state.step.
     ``remat`` (cfg TPU.REMAT) checkpoints the forward — activations are
     recomputed in the backward pass, trading ~1 extra forward for peak-HBM
     headroom (bigger batches / inputs).
     """
+    import inspect
+
+    loss_takes_rng = "rng" in inspect.signature(loss_fn).parameters
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         use_l1 = (
@@ -83,7 +88,7 @@ def make_train_step(
         # per-step rngs for stochastic layers: base key from the configured
         # seed, folded with step, split into independent streams
         step_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
-        dropout_rng, droppath_rng = jax.random.split(step_rng)
+        dropout_rng, droppath_rng, loss_rng = jax.random.split(step_rng, 3)
 
         def forward(params, images):
             return model.apply(
@@ -99,7 +104,10 @@ def make_train_step(
 
         def compute_loss(params):
             out, mutated = forward(params, batch["image"])
-            losses = loss_fn(out, batch, use_l1)
+            if loss_takes_rng:
+                losses = loss_fn(out, batch, use_l1, rng=loss_rng)
+            else:
+                losses = loss_fn(out, batch, use_l1)
             return losses["total_loss"], (losses, mutated["batch_stats"])
 
         grads, (losses, new_stats) = jax.grad(compute_loss, has_aux=True)(
