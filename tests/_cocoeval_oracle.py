@@ -22,18 +22,33 @@ from __future__ import annotations
 import numpy as np
 
 
+KPT_OKS_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89,
+]) / 10.0
+
+
 class Params:
     def __init__(self, iouType="bbox"):
         self.iouThrs = np.linspace(
             0.5, 0.95, int(np.round((0.95 - 0.5) / 0.05)) + 1, endpoint=True)
         self.recThrs = np.linspace(
             0.0, 1.00, int(np.round((1.00 - 0.0) / 0.01)) + 1, endpoint=True)
-        self.maxDets = [100]
-        self.areaRng = [
-            [0, 1e5 ** 2], [0, 32 ** 2], [32 ** 2, 96 ** 2],
-            [96 ** 2, 1e5 ** 2],
-        ]
-        self.areaRngLbl = ["all", "small", "medium", "large"]
+        if iouType == "keypoints":
+            # pycocotools setKpParams
+            self.maxDets = [20]
+            self.areaRng = [
+                [0, 1e5 ** 2], [32 ** 2, 96 ** 2], [96 ** 2, 1e5 ** 2],
+            ]
+            self.areaRngLbl = ["all", "medium", "large"]
+            self.kpt_oks_sigmas = KPT_OKS_SIGMAS
+        else:
+            self.maxDets = [100]
+            self.areaRng = [
+                [0, 1e5 ** 2], [0, 32 ** 2], [32 ** 2, 96 ** 2],
+                [96 ** 2, 1e5 ** 2],
+            ]
+            self.areaRngLbl = ["all", "small", "medium", "large"]
         self.iouType = iouType
         self.useCats = 1
 
@@ -98,12 +113,22 @@ class COCOevalOracle:
             for gt in anns:
                 gt["ignore"] = gt.get("ignore", 0) or gt.get("iscrowd", 0)
         # loadRes semantics: det area = bbox w*h (bbox) / mask area (segm)
+        # / keypoint-extent box area (keypoints, cocoeval loadRes:
+        # x0,x1,y0,y1 from kp extremes, area=(x1-x0)*(y1-y0))
         for anns in self._dts.values():
             for dt in anns:
                 if "area" not in dt:
                     if self.params.iouType == "segm":
                         dt["area"] = float(
                             np.count_nonzero(dt["segmentation"]))
+                    elif self.params.iouType == "keypoints":
+                        kp = np.asarray(dt["keypoints"], np.float64)
+                        x = kp[0::3]
+                        y = kp[1::3]
+                        x0, x1 = x.min(), x.max()
+                        y0, y1 = y.min(), y.max()
+                        dt["area"] = (x1 - x0) * (y1 - y0)
+                        dt["bbox"] = [x0, y0, x1 - x0, y1 - y0]
                     else:
                         dt["area"] = dt["bbox"][2] * dt["bbox"][3]
 
@@ -122,8 +147,47 @@ class COCOevalOracle:
         if p.iouType == "segm":
             return _iou_segm([d["segmentation"] for d in dt],
                              [g["segmentation"] for g in gt], iscrowd)
+        if p.iouType == "keypoints":
+            return self.computeOks(dt, gt)
         return _iou_bbox([d["bbox"] for d in dt],
                          [g["bbox"] for g in gt], iscrowd)
+
+    # -- computeOks (literal transcription of cocoeval.computeOks) ---------
+    def computeOks(self, dts, gts):
+        sigmas = self.params.kpt_oks_sigmas
+        vars = (sigmas * 2) ** 2
+        k = len(sigmas)
+        ious = np.zeros((len(dts), len(gts)))
+        for j, gt in enumerate(gts):
+            g = np.array(gt["keypoints"], np.float64)
+            xg = g[0::3]
+            yg = g[1::3]
+            vg = g[2::3]
+            k1 = np.count_nonzero(vg > 0)
+            bb = gt["bbox"]
+            x0 = bb[0] - bb[2]
+            x1 = bb[0] + bb[2] * 2
+            y0 = bb[1] - bb[3]
+            y1 = bb[1] + bb[3] * 2
+            for i, dt in enumerate(dts):
+                d = np.array(dt["keypoints"], np.float64)
+                xd = d[0::3]
+                yd = d[1::3]
+                if k1 > 0:
+                    dx = xd - xg
+                    dy = yd - yg
+                else:
+                    z = np.zeros((k,))
+                    dx = (np.max((z, x0 - xd), axis=0)
+                          + np.max((z, xd - x1), axis=0))
+                    dy = (np.max((z, y0 - yd), axis=0)
+                          + np.max((z, yd - y1), axis=0))
+                e = ((dx ** 2 + dy ** 2) / vars
+                     / (gt["area"] + np.spacing(1)) / 2)
+                if k1 > 0:
+                    e = e[vg > 0]
+                ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+        return ious
 
     # -- evaluateImg (literal transcription) -------------------------------
     def evaluateImg(self, imgId, catId, aRng, maxDet, ious):
@@ -274,12 +338,15 @@ class COCOevalOracle:
             s = s[s > -1]
             return float(np.mean(s)) if s.size else float("nan")
 
-        return {
+        lbl = self.params.areaRngLbl
+        out = {
             "AP": _ap(0),
             "AP50": _ap(0, 0),
             "AP75": _ap(0, 5),
-            "APs": _ap(1),
-            "APm": _ap(2),
-            "APl": _ap(3),
+            "APm": _ap(lbl.index("medium")),
+            "APl": _ap(lbl.index("large")),
             "AR100": _ar(0),
         }
+        if "small" in lbl:
+            out["APs"] = _ap(lbl.index("small"))
+        return out

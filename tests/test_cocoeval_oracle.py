@@ -205,3 +205,173 @@ def test_segm_metrics_match_pycocotools_semantics(seed):
             np.testing.assert_allclose(
                 ours[m], oracle[m], atol=1e-9,
                 err_msg=f"seed {seed}: segm metric {m} diverges")
+
+
+# ---------------------------------------------------------------------------
+# segm (mask IoU) differential
+# ---------------------------------------------------------------------------
+
+def _random_mask_scene(rng, num_images=3, num_classes=2, hw=96):
+    """Random blob masks; gt mask/bbox consistent; some crowds."""
+    gts, dts = [], []
+    gid = did = 1
+    for img in range(num_images):
+        for _ in range(int(rng.integers(1, 5))):
+            x, y = rng.integers(0, hw - 40, 2)
+            w, h = rng.integers(8, 40, 2)
+            m = np.zeros((hw, hw), bool)
+            m[y:y + h, x:x + w] = True
+            gts.append({
+                "id": gid, "image_id": img,
+                "category_id": int(rng.integers(0, num_classes)),
+                "bbox": [float(x), float(y), float(w), float(h)],
+                "area": float(m.sum()),
+                "iscrowd": int(rng.random() < 0.2),
+                "segmentation": m,
+            })
+            gid += 1
+        for _ in range(int(rng.integers(1, 7))):
+            x, y = rng.integers(0, hw - 40, 2)
+            w, h = rng.integers(8, 40, 2)
+            m = np.zeros((hw, hw), bool)
+            m[y:y + h, x:x + w] = True
+            dts.append({
+                "id": did, "image_id": img,
+                "category_id": int(rng.integers(0, num_classes)),
+                "bbox": [float(x), float(y), float(w), float(h)],
+                "score": float(rng.random()),
+                "segmentation": m,
+            })
+            did += 1
+    return gts, dts
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_segm_metrics_match_pycocotools_semantics(seed):
+    from yolov7_d2_tpu.evaluation.coco_eval import COCOMaskEvaluator
+
+    rng = np.random.default_rng(100 + seed)
+    num_images, num_classes = 3, 2
+    gts, dts = _random_mask_scene(rng, num_images, num_classes)
+    oracle = COCOevalOracle(gts, dts, range(num_images), range(num_classes),
+                            iouType="segm").summarize()
+    ev = COCOMaskEvaluator(num_classes)
+    for img in range(num_images):
+        g = [x for x in gts if x["image_id"] == img]
+        d = [x for x in dts if x["image_id"] == img]
+        ev.add_gt(
+            img,
+            np.stack([_xywh_to_xyxy(x["bbox"]) for x in g])
+            if g else np.zeros((0, 4)),
+            np.array([x["category_id"] for x in g], np.int64),
+            iscrowd=np.array([x["iscrowd"] for x in g], bool),
+            areas=np.array([x["area"] for x in g]),
+            masks=[x["segmentation"] for x in g],
+        )
+        ev.add_predictions(
+            img,
+            np.stack([_xywh_to_xyxy(x["bbox"]) for x in d])
+            if d else np.zeros((0, 4)),
+            np.array([x["score"] for x in d]),
+            np.array([x["category_id"] for x in d], np.int64),
+            masks=[x["segmentation"] for x in d],
+        )
+    ours = ev.evaluate()
+    for m in METRICS:
+        if np.isnan(oracle[m]):
+            assert np.isnan(ours[m]), (m, oracle[m], ours[m])
+        else:
+            np.testing.assert_allclose(
+                ours[m], oracle[m], atol=1e-9,
+                err_msg=f"seed {seed}: segm metric {m} diverges")
+
+
+# ---------------------------------------------------------------------------
+# keypoints (OKS) differential
+# ---------------------------------------------------------------------------
+
+def _random_kpt_scene(rng, num_images=3, P=17):
+    """Person keypoints: GT kpts near a box, some fully-invisible GTs
+    (exercising the vicinity-box OKS fallback), crowd flags, det kpts as
+    jittered GT or random noise."""
+    gts, dts = [], []
+    gid = did = 1
+    for img in range(num_images):
+        boxes = []
+        for _ in range(int(rng.integers(1, 4))):
+            x, y = rng.uniform(10, 200, 2)
+            w, h = rng.uniform(30, 120, 2)
+            kp = np.zeros((P, 3))
+            kp[:, 0] = rng.uniform(x, x + w, P)
+            kp[:, 1] = rng.uniform(y, y + h, P)
+            vis = (rng.random(P) < 0.7).astype(float) * 2
+            if rng.random() < 0.25:
+                vis[:] = 0.0           # fully unannotated person
+            kp[:, 2] = vis
+            boxes.append((x, y, w, h, kp))
+            gts.append({
+                "id": gid, "image_id": img, "category_id": 0,
+                "bbox": [x, y, w, h], "area": float(w * h),
+                "iscrowd": int(rng.random() < 0.15),
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+            })
+            gid += 1
+        for _ in range(int(rng.integers(1, 6))):
+            if boxes and rng.random() < 0.7:
+                x, y, w, h, kp0 = boxes[int(rng.integers(0, len(boxes)))]
+                kp = kp0.copy()
+                kp[:, 0] += rng.normal(0, 0.05 * w, P)
+                kp[:, 1] += rng.normal(0, 0.05 * h, P)
+            else:
+                kp = np.zeros((P, 3))
+                kp[:, 0] = rng.uniform(0, 300, P)
+                kp[:, 1] = rng.uniform(0, 300, P)
+            kp[:, 2] = rng.random(P)
+            dts.append({
+                "id": did, "image_id": img, "category_id": 0,
+                "score": float(rng.random()),
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+            })
+            did += 1
+    return gts, dts
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_keypoint_metrics_match_pycocotools_semantics(seed):
+    from yolov7_d2_tpu.evaluation.coco_eval import COCOKeypointEvaluator
+
+    rng = np.random.default_rng(200 + seed)
+    num_images = 3
+    gts, dts = _random_kpt_scene(rng, num_images)
+    oracle = COCOevalOracle(gts, dts, range(num_images), [0],
+                            iouType="keypoints").summarize()
+    ev = COCOKeypointEvaluator(num_classes=1)
+    for img in range(num_images):
+        g = [x for x in gts if x["image_id"] == img]
+        d = [x for x in dts if x["image_id"] == img]
+        if g:
+            ev.add_gt_keypoints(
+                img,
+                np.stack(
+                    [np.array(x["keypoints"]).reshape(-1, 3) for x in g]
+                ),
+                areas=np.array([x["area"] for x in g]),
+                boxes=np.stack([np.array(x["bbox"]) for x in g]),
+                iscrowd=np.array([x["iscrowd"] for x in g], bool),
+            )
+        if d:
+            ev.add_pred_keypoints(
+                img,
+                np.stack(
+                    [np.array(x["keypoints"]).reshape(-1, 3) for x in d]
+                ),
+                scores=np.array([x["score"] for x in d]),
+            )
+    ours = ev.evaluate()
+    for m in ("AP", "AP50", "AP75", "APm", "APl", "AR100"):
+        if np.isnan(oracle[m]):
+            assert np.isnan(ours[m]), (m, oracle[m], ours[m])
+        else:
+            np.testing.assert_allclose(
+                ours[m], oracle[m], atol=1e-9,
+                err_msg=f"seed {seed}: keypoint metric {m} diverges")
