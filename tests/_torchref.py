@@ -268,6 +268,8 @@ def install_stubs() -> None:
     bn_mod.get_norm = get_norm
     bn_mod.FrozenBatchNorm2d = FrozenBatchNorm2d
     mb.Backbone = Backbone
+    # res2next.py imports `detectron2.modeling.backbone.backbone` directly
+    _stub("detectron2.modeling.backbone.backbone").Backbone = Backbone
     mb.build = mbuild
     mb.BACKBONE_REGISTRY = _Registry()
     mbuild.BACKBONE_REGISTRY = _Registry()
@@ -276,6 +278,7 @@ def install_stubs() -> None:
     modeling.META_ARCH_REGISTRY = _Registry()
     modeling.RPN_HEAD_REGISTRY = _Registry()
     modeling.Backbone = Backbone
+    modeling.ShapeSpec = ShapeSpec  # res2next.py imports it from modeling
     env.TORCH_VERSION = (2, 99)
     comm.get_world_size = lambda: 1
     comm.is_main_process = lambda: True

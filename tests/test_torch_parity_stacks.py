@@ -398,3 +398,64 @@ def test_effidehead_decode_parity():
     np.testing.assert_allclose(
         np.asarray(jax.nn.sigmoid(cls_logits)), ref[..., 5:],
         rtol=3e-4, atol=1e-5, err_msg="effidehead cls diverges")
+
+
+# ---------------------------------------------------------------------------
+# Res2Net-50-v1b (res2nets/res2net_v1b.py:100 — the BASELINE news row
+# "YOLOv7-Res2Net-50 +5%" backbone; wrapper.py:7 builds this variant)
+# ---------------------------------------------------------------------------
+
+def test_res2net_v1b_activation_parity():
+    from yolov7_d2_tpu.models.backbones.res2net import Res2Net
+
+    rv = ref_module("yolov7.modeling.backbone.res2nets.res2net_v1b")
+    tm = rv.Res2Net(rv.Bottle2neck, [3, 4, 6, 3], baseWidth=26, scale=4,
+                    out_features=["res3", "res4", "res5"]).eval()
+    _randomize(tm, seed=23)
+
+    fm = Res2Net(depth=50, vd=True, out_features=("res3", "res4", "res5"))
+    # odd spatial sizes at the deeper stages exercise the ceil-mode
+    # avg-pool downsample path
+    x = np.random.default_rng(23).uniform(0, 1, (1, 3, 72, 72)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=wp.map_res2net_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, _nhwc(x))
+    for k in ("res3", "res4", "res5"):
+        np.testing.assert_allclose(
+            _nchw(ours[k]), ref[k].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"res2net_v1b {k} diverges")
+
+
+def test_res2next50_activation_parity():
+    """Res2NeXt-50 (res2next.py:209: baseWidth 4, cardinality 8, grouped
+    hierarchical 3x3s, plain stem + conv downsample)."""
+    from yolov7_d2_tpu.models.backbones.res2net import Res2Net
+
+    rx = ref_module("yolov7.modeling.backbone.res2nets.res2next")
+    tm = rx.Res2NeXt(rx.Bottle2neckX, baseWidth=4, cardinality=8,
+                     layers=[3, 4, 6, 3], scale=4,
+                     out_features=["res3", "res4", "res5"]).eval()
+    _randomize(tm, seed=29)
+
+    fm = Res2Net(depth=50, base_width=4, cardinality=8, vd=False,
+                 out_features=("res3", "res4", "res5"))
+    x = np.random.default_rng(29).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=wp.map_res2next_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, _nhwc(x))
+    for k in ("res3", "res4", "res5"):
+        np.testing.assert_allclose(
+            _nchw(ours[k]), ref[k].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"res2next50 {k} diverges")

@@ -26,6 +26,7 @@ class ConvBN(nn.Module):
     stride: int = 1
     act: bool = True
     frozen_bn: bool = True
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -34,6 +35,7 @@ class ConvBN(nn.Module):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel),
             (self.stride, self.stride), padding=[(p, p), (p, p)],
+            feature_group_count=self.groups,
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name="conv",
         )(x)

@@ -485,6 +485,51 @@ def map_resnetvd_plain_torch_name(name: str):
     return map_resnetvd_torch_name(name, avg_down=False)
 
 
+def map_res2net_torch_name(name: str):
+    """Reference Res2Net-v1b keys (res2net_v1b.py:100) -> our Res2Net flax
+    paths. Deep stem ``conv1.{0,1,3,4,6}`` + outer ``bn1``; blocks
+    ``layerL.i.{conv1,bn1,convs.j,bns.j,conv3,bn3,downsample.{1,2}}``."""
+    m = re.match(r"^conv1\.(\d)$", name)
+    if m:
+        return {0: ("stem1", "conv"), 1: ("stem1", "bn"),
+                3: ("stem2", "conv"), 4: ("stem2", "bn"),
+                6: ("stem3", "conv")}[int(m.group(1))]
+    if name == "bn1":
+        return ("stem3", "bn")
+    m = re.match(r"^layer(\d)\.(\d+)\.(conv|bn)(\d)$", name)
+    if m:
+        lvl, i, kind, k = m.groups()
+        return (f"res{int(lvl) + 1}_{i}", f"conv{k}",
+                "conv" if kind == "conv" else "bn")
+    m = re.match(r"^layer(\d)\.(\d+)\.(convs|bns)\.(\d+)$", name)
+    if m:
+        lvl, i, kind, j = m.groups()
+        return (f"res{int(lvl) + 1}_{i}", f"conv2_{j}",
+                "conv" if kind == "convs" else "bn")
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.(\d)$", name)
+    if m:
+        lvl, i, j = m.groups()
+        leaf = {1: "conv", 2: "bn"}[int(j)]
+        return (f"res{int(lvl) + 1}_{i}", "shortcut", leaf)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_res2next_torch_name(name: str):
+    """Res2NeXt-50 (res2next.py:102): plain 7x7 stem (conv1/bn1) and
+    conv-only downsample (downsample.{0,1}); blocks share the Res2Net
+    layout."""
+    if name == "conv1":
+        return ("stem", "conv")
+    if name == "bn1":
+        return ("stem", "bn")
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.(\d)$", name)
+    if m:
+        lvl, i, j = m.groups()
+        leaf = {0: "conv", 1: "bn"}[int(j)]
+        return (f"res{int(lvl) + 1}_{i}", "shortcut", leaf)
+    return map_res2net_torch_name(name)
+
+
 def map_sparseinst_encoder_torch_name(name: str):
     """Reference InstanceContextEncoder keys (encoder_sparseinst.py:73) ->
     our encoder flax paths. ``fpn_laterals``/``fpn_outputs`` are ordered
