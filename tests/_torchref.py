@@ -237,6 +237,80 @@ def install_stubs() -> None:
             super().__init__()
             raise RuntimeError("DeformConv stub: not used in parity tests")
 
+    class ModulatedDeformConv(nn.Module):
+        """CPU reference DCNv2 (the d2/mmcv CUDA op is unavailable):
+        offset channels are (dy, dx) pairs per row-major kernel tap, the
+        modulation mask is applied as given (the caller sigmoids it), and
+        out-of-image samples are zero (per-corner bilinear gating) —
+        matching ops/deform_conv.py's sampling semantics so DLA parity
+        tests exercise true deformed sampling, not just zero offsets."""
+
+        def __init__(self, in_channels, out_channels, kernel_size=3,
+                     stride=1, padding=1, dilation=1, groups=1,
+                     deformable_groups=1, bias=True):
+            super().__init__()
+            assert groups == 1 and deformable_groups == 1
+            k = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+            self.k, self.stride = k, stride
+            self.padding, self.dilation = padding, dilation
+            self.weight = nn.Parameter(
+                torch.empty(out_channels, in_channels, k, k))
+            self.bias = (
+                nn.Parameter(torch.zeros(out_channels)) if bias else None
+            )
+            nn.init.kaiming_uniform_(self.weight, a=5 ** 0.5)
+
+        @staticmethod
+        def _bilinear(x, sy, sx):
+            # x [B, C, H, W]; sy/sx [B, Ho, Wo] -> [B, C, Ho, Wo]
+            B, C, H, W = x.shape
+            y0 = torch.floor(sy)
+            x0 = torch.floor(sx)
+            wy = (sy - y0).unsqueeze(1)
+            wx = (sx - x0).unsqueeze(1)
+
+            def gather(yy, xx):
+                inside = ((yy >= 0) & (yy <= H - 1)
+                          & (xx >= 0) & (xx <= W - 1))
+                yi = yy.clamp(0, H - 1).long()
+                xi = xx.clamp(0, W - 1).long()
+                bidx = torch.arange(B).view(B, 1, 1)
+                vals = x[bidx, :, yi, xi]          # [B, Ho, Wo, C]
+                vals = vals * inside.unsqueeze(-1)
+                return vals.permute(0, 3, 1, 2)
+            v00 = gather(y0, x0)
+            v01 = gather(y0, x0 + 1)
+            v10 = gather(y0 + 1, x0)
+            v11 = gather(y0 + 1, x0 + 1)
+            top = v00 * (1 - wx) + v01 * wx
+            bot = v10 * (1 - wx) + v11 * wx
+            return top * (1 - wy) + bot * wy
+
+        def forward(self, x, offset, mask):
+            import torch.nn.functional as F
+
+            B, C, H, W = x.shape
+            k, s, p, d = self.k, self.stride, self.padding, self.dilation
+            Ho = (H + 2 * p - d * (k - 1) - 1) // s + 1
+            Wo = (W + 2 * p - d * (k - 1) - 1) // s + 1
+            base_y = (torch.arange(Ho, dtype=x.dtype) * s - p).view(1, -1, 1)
+            base_x = (torch.arange(Wo, dtype=x.dtype) * s - p).view(1, 1, -1)
+            out = None
+            t = 0
+            for i in range(k):
+                for j in range(k):
+                    sy = base_y + i * d + offset[:, 2 * t]
+                    sx = base_x + j * d + offset[:, 2 * t + 1]
+                    sampled = self._bilinear(x, sy, sx)
+                    sampled = sampled * mask[:, t].unsqueeze(1)
+                    w_t = self.weight[:, :, i, j].unsqueeze(-1).unsqueeze(-1)
+                    o = F.conv2d(sampled, w_t)
+                    out = o if out is None else out + o
+                    t += 1
+            if self.bias is not None:
+                out = out + self.bias.view(1, -1, 1, 1)
+            return out
+
     class _D2Registry:
         def __init__(self, name=""):
             self._name = name
@@ -259,6 +333,7 @@ def install_stubs() -> None:
 
     layers.ShapeSpec = ShapeSpec
     layers.DeformConv = DeformConv
+    layers.ModulatedDeformConv = ModulatedDeformConv
     layers.get_norm = get_norm
     layers.BatchNorm2d = nn.BatchNorm2d
     layers.NaiveSyncBatchNorm = nn.BatchNorm2d
@@ -270,6 +345,14 @@ def install_stubs() -> None:
     mb.Backbone = Backbone
     # res2next.py imports `detectron2.modeling.backbone.backbone` directly
     _stub("detectron2.modeling.backbone.backbone").Backbone = Backbone
+    # dla.py imports d2 resnet block types (only re-exported, never built)
+    # and the FPN class (unused in the parity path)
+    _res = _stub("detectron2.modeling.backbone.resnet")
+    _res.BasicStem = type("BasicStem", (nn.Module,), {})
+    _res.BottleneckBlock = type("BottleneckBlock", (nn.Module,), {})
+    _res.DeformBottleneckBlock = type("DeformBottleneckBlock", (nn.Module,), {})
+    _stub("detectron2.modeling.backbone.fpn").FPN = type(
+        "FPN", (nn.Module,), {})
     mb.build = mbuild
     mb.BACKBONE_REGISTRY = _Registry()
     mbuild.BACKBONE_REGISTRY = _Registry()

@@ -459,3 +459,64 @@ def test_res2next50_activation_parity():
         np.testing.assert_allclose(
             _nchw(ours[k]), ref[k].numpy(), rtol=3e-4, atol=3e-4,
             err_msg=f"res2next50 {k} diverges")
+
+
+# ---------------------------------------------------------------------------
+# DLA-34 / DLASeg (dla.py:194/368) — trunk, DLAUp/IDAUp decoders with
+# modulated-DCN blocks (CPU DCNv2 stub in _torchref) and the trainable
+# bilinear upsamples (ported with the ConvTranspose spatial flip)
+# ---------------------------------------------------------------------------
+
+def test_dla34_trunk_activation_parity():
+    from yolov7_d2_tpu.models.backbones.dla import DLA
+
+    rd = ref_module("yolov7.modeling.backbone.dla")
+    rd.DLA.load_pretrained_model = lambda self, *a, **k: None  # zero egress
+    levels, channels, Block = rd.DLA_CONFIGS[34]
+    tm = rd.DLA(num_layers=34, levels=levels, channels=channels,
+                block=Block, norm="BN").eval()
+    _randomize(tm, seed=31)
+
+    fm = DLA(depth=34, out_features=tuple(f"level{i}" for i in range(6)))
+    x = np.random.default_rng(31).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=wp.map_dla_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))   # list level0..level5
+    ours = fm.apply(ported, _nhwc(x))
+    for i in range(6):
+        np.testing.assert_allclose(
+            _nchw(ours[f"level{i}"]), ref[i].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"dla34 level{i} diverges")
+
+
+def test_dlaseg_decoder_activation_parity():
+    """Full DLASeg forward (trunk + DLAUp + final IDAUp): real deformed
+    sampling (randomized offset convs), trained up_* kernels round-trip
+    through the documented spatial flip."""
+    from yolov7_d2_tpu.models.backbones.dla import DLASeg
+
+    rd = ref_module("yolov7.modeling.backbone.dla")
+    rd.DLA.load_pretrained_model = lambda self, *a, **k: None  # zero egress
+    tm = rd.DLASeg(num_layers=34, out_features=["dla0", "dla1", "dla2"],
+                   use_dla_up=True, ms_output=False, norm="BN").eval()
+    _randomize(tm, seed=37)
+
+    fm = DLASeg(num_layers=34, out_features=("dla0", "dla1", "dla2"))
+    x = np.random.default_rng(37).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_dla_state_dict(_state_np(tm), variables)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, _nhwc(x))
+    for k in ("dla0", "dla1", "dla2"):
+        np.testing.assert_allclose(
+            _nchw(ours[k]), ref[k].numpy(), rtol=1e-3, atol=1e-3,
+            err_msg=f"dlaseg {k} diverges")

@@ -799,3 +799,158 @@ def port_swin_state_dict(state_dict, variables, strict: bool = False):
     if strict and report["unused"]:
         raise KeyError(f"unmatched torch keys: {report['unused'][:20]}")
     return new_vars, report
+
+
+# ---------------------------------------------------------------------------
+# DLA / DLASeg (reference dla.py — DLA:194 trunk, DLAUp:336/IDAUp:309
+# decoders with modulated-DCN blocks and trainable bilinear upsamples)
+# ---------------------------------------------------------------------------
+
+def _map_dla_block_inner(rest: str, block: str = "basic"):
+    """Block-level names inside a Tree leaf. Our BasicBlock (DLA-34) uses
+    flat conv1/bn1/conv2/bn2; our BottleneckBlock (DLA-60) nests conv1 and
+    conv3 in ConvBN with a raw middle conv."""
+    if block == "basic":
+        return (rest,)
+    table = {
+        "conv1": ("conv1", "conv"), "bn1": ("conv1", "bn"),
+        "conv2": ("conv2",), "bn2": ("bn2",),
+        "conv3": ("conv3", "conv"), "bn3": ("conv3", "bn"),
+    }
+    if rest in table:
+        return table[rest]
+    return tuple(rest.split("."))
+
+
+def map_dla_torch_name(name: str, block: str = "basic"):
+    """Reference DLA/DLASeg state-dict module names -> our flax paths.
+
+    ``base.`` prefixes (DLASeg) and bare trunk names both resolve; the
+    trunk's Sequential indices (base_layer.{0,1}, level{0,1}.{3c,3c+1})
+    map onto our ConvBN stacks, Tree/Root/project recurse structurally,
+    and the decoder's _DeformConv pieces map onto DeformConvBlock
+    (offset -> dcn/offset_conv, conv -> dcn/weight, actf.0 -> bn).
+    """
+    parts = name.split(".")
+    out = []
+    i = 0
+    # DLASeg prefixes
+    if parts[0] == "base":
+        out.append("base")
+        i = 1
+    if i < len(parts) and parts[i] == "base_layer":
+        idx = int(parts[i + 1])
+        return tuple(out + ["base", {0: "conv", 1: "bn"}[idx]])
+    if i < len(parts) and re.match(r"^level[01]$", parts[i]):
+        lvl = parts[i]
+        idx = int(parts[i + 1])
+        return tuple(out + [f"{lvl}_{idx // 3}",
+                            {0: "conv", 1: "bn"}[idx % 3]])
+    if i < len(parts) and re.match(r"^level[2-5]$", parts[i]):
+        out.append(parts[i])
+        i += 1
+        while i < len(parts):
+            p = parts[i]
+            if p in ("tree1", "tree2"):
+                # tree1/tree2 are Trees at levels>1 and blocks at leaves —
+                # both keep the name; block innards handled below
+                nxt = parts[i + 1] if i + 1 < len(parts) else ""
+                if nxt in ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3"):
+                    out.append(p)
+                    out.extend(_map_dla_block_inner(nxt, block))
+                    return tuple(out)
+                out.append(p)
+                i += 1
+                continue
+            if p == "project":
+                j = int(parts[i + 1])
+                return tuple(out + ["project", {0: "conv", 1: "bn"}[j]])
+            if p == "root":
+                leaf = parts[i + 1]
+                return tuple(out + ["root", "conv",
+                                    {"conv": "conv", "bn": "bn"}[leaf]])
+            out.append(p)
+            i += 1
+        return tuple(out)
+    # decoder: dla_up.ida_{i}.* / ida_up.*
+    if parts[i] in ("dla_up", "ida_up"):
+        out.append(parts[i])
+        i += 1
+        if parts[i].startswith("ida_"):
+            out.append(parts[i])
+            i += 1
+        p = parts[i]
+        m = re.match(r"^(proj|node)_(\d+)$", p)
+        if m:
+            sub = parts[i + 1]
+            if sub == "offset":
+                return tuple(out + [p, "dcn", "offset_conv"])
+            if sub == "conv":
+                return tuple(out + [p, "dcn", "weight"])
+            if sub == "actf":
+                return tuple(out + [p, "bn"])
+        m = re.match(r"^up_(\d+)$", p)
+        if m:
+            return tuple(out + [p])
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def port_dla_state_dict(state_dict, variables, strict: bool = False):
+    """DLA/DLASeg port with the two non-name transforms:
+
+    * DCN fuse weights: torch ``[O, C, k, k]`` -> our 1x1-over-taps kernel
+      ``[1, 1, k*k*C, O]`` (tap-major rows, ops/deform_conv.py layout);
+    * up_* bilinear upsamples: torch grouped ConvTranspose2d
+      ``[C, 1, k, k]`` -> our lhs-dilated cross-correlation kernel
+      ``[k, k, 1, C]`` with the spatial [::-1, ::-1] flip (BilinearUp is a
+      cross-correlation; transposed conv applies the flipped kernel).
+    """
+    pre = {}
+    for key, tensor in state_dict.items():
+        t = np.asarray(tensor)
+        module, _, leaf = key.rpartition(".")
+        parts = module.split(".")
+        if leaf == "weight" and parts and parts[-1].startswith("up_"):
+            # [C, 1, k, k] -> flip -> [k, k, 1, C]
+            w = t[:, :, ::-1, ::-1]
+            pre[key] = np.ascontiguousarray(
+                np.transpose(w, (2, 3, 1, 0))
+            )
+            continue
+        if leaf == "weight" and len(parts) >= 1 and parts[-1] == "conv" and (
+            len(parts) >= 2 and parts[-2].startswith(("proj_", "node_"))
+        ):
+            o, c, kh, kw = t.shape
+            pre[key] = np.transpose(t, (2, 3, 1, 0)).reshape(
+                1, 1, kh * kw * c, o
+            )
+            continue
+        pre[key] = t
+
+    def mapper_with_preconverted(name):
+        return map_dla_torch_name(name)
+
+    # port_torch_state_dict re-transposes 4-d weights; our two transformed
+    # tensors are already in flax layout, so feed them via a wrapper that
+    # undoes the standard conversion for exactly those keys
+    out_sd = {}
+    for key, t in pre.items():
+        module, _, leaf = key.rpartition(".")
+        parts = module.split(".")
+        special = (
+            leaf == "weight" and parts and (
+                parts[-1].startswith("up_")
+                or (parts[-1] == "conv"
+                    and len(parts) >= 2
+                    and parts[-2].startswith(("proj_", "node_")))
+            )
+        )
+        if special:
+            # pre-invert the [O, I, kH, kW] -> [kH, kW, I, O] transform
+            out_sd[key] = np.transpose(t, (3, 2, 0, 1))
+        else:
+            out_sd[key] = t
+    return port_torch_state_dict(
+        out_sd, variables, name_mapper=mapper_with_preconverted,
+        strict=strict,
+    )
