@@ -162,10 +162,30 @@ def install_timm_stub() -> None:
             x = self.act3(x)
             return x
 
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    def register_model(fn):
+        return fn
+
+    def _cfg(url="", **kw):
+        return dict(url=url, **kw)
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     resnet = types.ModuleType("timm.models.resnet")
     layers = types.ModuleType("timm.models.layers")
+    registry = types.ModuleType("timm.models.registry")
+    vit = types.ModuleType("timm.models.vision_transformer")
+    registry.register_model = register_model
+    vit._cfg = _cfg
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
     resnet.BasicBlock = BasicBlock
     resnet.Bottleneck = Bottleneck
     layers.DropBlock2d = DropBlock2d
@@ -173,8 +193,12 @@ def install_timm_stub() -> None:
     layers.AvgPool2dSame = AvgPool2dSame
     models.resnet = resnet
     models.layers = layers
+    models.registry = registry
+    models.vision_transformer = vit
     timm.models = models
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = models
     sys.modules["timm.models.resnet"] = resnet
     sys.modules["timm.models.layers"] = layers
+    sys.modules["timm.models.registry"] = registry
+    sys.modules["timm.models.vision_transformer"] = vit

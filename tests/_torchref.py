@@ -48,6 +48,9 @@ def install_stubs() -> None:
     import torch
     import torch.nn as nn
 
+    # ---- `imp` (removed in py3.12; pvt_v2.py line 1 imports it unused)
+    _stub("imp")
+
     # ---- omegaconf (darknetx does `from omegaconf import base`, unused)
     om = _stub("omegaconf")
     om.base = types.SimpleNamespace()
@@ -177,6 +180,8 @@ def install_stubs() -> None:
             return os.path.exists(path)
 
     _stub("detectron2.utils.file_io").PathManager = _PathManager
+    import logging as _logging
+    _stub("detectron2.utils.logger").logging = _logging
 
     @dataclass
     class ShapeSpec:

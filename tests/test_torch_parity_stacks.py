@@ -520,3 +520,33 @@ def test_dlaseg_decoder_activation_parity():
         np.testing.assert_allclose(
             _nchw(ours[k]), ref[k].numpy(), rtol=1e-3, atol=1e-3,
             err_msg=f"dlaseg {k} diverges")
+
+
+# ---------------------------------------------------------------------------
+# PVTv2-b0 (pvt_v2.py:372 — SR attention + overlap patch embed + ConvFFN)
+# ---------------------------------------------------------------------------
+
+def test_pvt_v2_b0_activation_parity():
+    from yolov7_d2_tpu.models.backbones.pvt_v2 import PVTv2
+
+    rp = ref_module("yolov7.modeling.backbone.pvt_v2")
+    tm = rp.pvt_v2_b0(pretrained=False).eval()
+    _randomize(tm, seed=41)
+
+    fm = PVTv2(variant="b0", out_features=(0, 1, 2, 3))
+    x = np.random.default_rng(41).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=wp.map_pvt_v2_torch_name)
+    # the classification head is not part of the detection trunk
+    unused = [k for k in report["unused"] if not k.startswith("head.")]
+    assert not unused, unused[:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))   # list of 4 NCHW maps
+    ours = fm.apply(ported, _nhwc(x))
+    for s in range(4):
+        np.testing.assert_allclose(
+            _nchw(ours[f"stage{s}"]), ref[s].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"pvt_v2_b0 stage{s} diverges")

@@ -44,7 +44,7 @@ class SRAttention(nn.Module):
                 (self.sr_ratio, self.sr_ratio), dtype=self.dtype,
                 param_dtype=jnp.float32, name="sr",
             )(kv_in)
-            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="sr_norm")(
+            kv_in = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="sr_norm")(
                 kv_in
             ).astype(self.dtype)
             kv_in = kv_in.reshape(b, -1, self.dim)
@@ -77,7 +77,8 @@ class ConvFFN(nn.Module):
         y = nn.Conv(self.hidden, (3, 3), padding=[(1, 1), (1, 1)],
                     feature_group_count=self.hidden, dtype=self.dtype,
                     param_dtype=jnp.float32, name="dwconv")(y)
-        x = nn.gelu(y.reshape(b, n, self.hidden))
+        # torch nn.GELU default is the exact erf form
+        x = nn.gelu(y.reshape(b, n, self.hidden), approximate=False)
         return nn.Dense(self.out_dim, dtype=self.dtype,
                         param_dtype=jnp.float32, name="fc2")(x)
 
@@ -117,7 +118,7 @@ class PVTv2(nn.Module):
                         param_dtype=jnp.float32,
                         name=f"patch_embed_{stage}")(x)
             b, h, w, c = x.shape
-            t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+            t = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                              name=f"embed_norm_{stage}")(
                 x.reshape(b, h * w, c)
             ).astype(self.dtype)

@@ -954,3 +954,34 @@ def port_dla_state_dict(state_dict, variables, strict: bool = False):
         out_sd, variables, name_mapper=mapper_with_preconverted,
         strict=strict,
     )
+
+
+def map_pvt_v2_torch_name(name: str):
+    """Reference PVTv2 keys (pvt_v2.py:429 OverlapPatchEmbed/Block/Attention)
+    -> our flax paths. Torch stages are 1-based (patch_embed1..4, norm1..4);
+    ours 0-based."""
+    m = re.match(r"^patch_embed(\d)\.proj$", name)
+    if m:
+        return (f"patch_embed_{int(m.group(1)) - 1}",)
+    m = re.match(r"^patch_embed(\d)\.norm$", name)
+    if m:
+        return (f"embed_norm_{int(m.group(1)) - 1}",)
+    m = re.match(r"^norm(\d)$", name)
+    if m:
+        return (f"out_norm_{int(m.group(1)) - 1}",)
+    m = re.match(r"^block(\d)\.(\d+)\.(.*)$", name)
+    if m:
+        stage, i, rest = int(m.group(1)) - 1, m.group(2), m.group(3)
+        base = (f"stage{stage}_block{i}",)
+        table = {
+            "norm1": ("norm1",), "norm2": ("norm2",),
+            "attn.q": ("attn", "q"), "attn.kv": ("attn", "kv"),
+            "attn.proj": ("attn", "proj"), "attn.sr": ("attn", "sr"),
+            "attn.norm": ("attn", "sr_norm"),
+            "mlp.fc1": ("ffn", "fc1"), "mlp.fc2": ("ffn", "fc2"),
+            "mlp.dwconv.dwconv": ("ffn", "dwconv"),
+        }
+        if rest in table:
+            return base + table[rest]
+        return base + tuple(rest.split("."))
+    return tuple(name.replace(".", "/").split("/"))
