@@ -356,8 +356,10 @@ def install_stubs() -> None:
     _res.BasicStem = type("BasicStem", (nn.Module,), {})
     _res.BottleneckBlock = type("BottleneckBlock", (nn.Module,), {})
     _res.DeformBottleneckBlock = type("DeformBottleneckBlock", (nn.Module,), {})
-    _stub("detectron2.modeling.backbone.fpn").FPN = type(
-        "FPN", (nn.Module,), {})
+    _fpn = _stub("detectron2.modeling.backbone.fpn")
+    _fpn.FPN = type("FPN", (nn.Module,), {})
+    _fpn.LastLevelMaxPool = type("LastLevelMaxPool", (nn.Module,), {})
+    _fpn.LastLevelP6P7 = type("LastLevelP6P7", (nn.Module,), {})
     mb.build = mbuild
     mb.BACKBONE_REGISTRY = _Registry()
     mbuild.BACKBONE_REGISTRY = _Registry()

@@ -550,3 +550,34 @@ def test_pvt_v2_b0_activation_parity():
         np.testing.assert_allclose(
             _nchw(ours[f"stage{s}"]), ref[s].numpy(), rtol=3e-4, atol=3e-4,
             err_msg=f"pvt_v2_b0 stage{s} diverges")
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-b0 (efficientnet.py:165 — MBConv+SE with static_same padding,
+# the reference's vendored detectron2_backbone trunk)
+# ---------------------------------------------------------------------------
+
+def test_efficientnet_b0_activation_parity():
+    from yolov7_d2_tpu.models.backbones.efficientnet import EfficientNet
+
+    re_ = ref_module("yolov7.modeling.backbone.efficientnet")
+    tm = re_.EfficientNet(width_mult=1.0, depth_mult=1.0, num_classes=0,
+                          features_indices=[1, 4, 10, 15]).eval()
+    _randomize(tm, seed=43)
+
+    fm = EfficientNet(variant="efficientnet_b0",
+                      feature_indices=(1, 4, 10, 15))
+    x = np.random.default_rng(43).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=wp.map_efficientnet_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))   # dict stride4..stride32 (NCHW)
+    ours = fm.apply(ported, _nhwc(x))
+    for nm in ("stride4", "stride8", "stride16", "stride32"):
+        np.testing.assert_allclose(
+            _nchw(ours[nm]), ref[nm].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"efficientnet_b0 {nm} diverges")

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
-from yolov7_d2_tpu.models.backbones.regnet import SE
 
 # width_mult, depth_mult per variant
 EFFNET_SCALING = {
@@ -42,6 +41,14 @@ def _round_repeats(r: int, mult: float) -> int:
     return int(math.ceil(r * mult))
 
 
+def _static_same_pad(k: int, s: int):
+    """Reference layers/wrappers.py:250 'static_same': p = max(k - s, 0)
+    split (p//2, p - p//2) — ASYMMETRIC for stride-2 convs ((0,1) at k3s2,
+    (1,2) at k5s2), unlike symmetric (k-1)//2 padding."""
+    p = max(k - s, 0)
+    return (p // 2, p - p // 2)
+
+
 class MBConv(nn.Module):
     expand: int
     out_channels: int
@@ -55,8 +62,8 @@ class MBConv(nn.Module):
         mid = inp * self.expand
 
         def conv_bn(y, f, k, s, g, name):
-            p = (k - 1) // 2
-            y = nn.Conv(f, (k, k), (s, s), padding=[(p, p), (p, p)],
+            pad = _static_same_pad(k, s) if g > 1 else (0, 0)
+            y = nn.Conv(f, (k, k), (s, s), padding=[pad, pad],
                         feature_group_count=g, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"{name}_conv")(y)
@@ -69,7 +76,16 @@ class MBConv(nn.Module):
         if self.expand != 1:
             y = nn.silu(conv_bn(y, mid, 1, 1, 1, "expand"))
         y = nn.silu(conv_bn(y, mid, self.kernel, self.stride, mid, "dw"))
-        y = SE(mid, ratio=0.25 / self.expand, dtype=self.dtype, name="se")(y)
+        # SE with SWISH on the squeezed path (reference MBConvBlock.forward
+        # applies self._swish between _se_reduce and _se_expand) and
+        # reduction on the INPUT width (reduced_dim = in_planes / 4)
+        se_mid = max(1, int(inp / 4))
+        s_ = jnp.mean(y.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s_ = nn.Conv(se_mid, (1, 1), dtype=jnp.float32,
+                     name="se_reduce")(s_)
+        s_ = nn.silu(s_)
+        s_ = nn.Conv(mid, (1, 1), dtype=jnp.float32, name="se_expand")(s_)
+        y = (y * nn.sigmoid(s_)).astype(self.dtype)
         y = conv_bn(y, self.out_channels, 1, 1, 1, "project")
         if self.stride == 1 and inp == self.out_channels:
             y = y + x
@@ -77,39 +93,43 @@ class MBConv(nn.Module):
 
 
 class EfficientNet(nn.Module):
+    """``feature_indices`` taps the output AFTER those block ids, labeled
+    stride4/8/16/32 positionally — the reference's
+    ``return_features_indices`` semantics (efficientnet.py:179, default
+    [1, 4, 10, 15] for b0; note index 1 is MID-stage-2, a quirk preserved
+    for parity)."""
+
     variant: str = "efficientnet_b0"
     out_features: Sequence[str] = ("stride4", "stride8", "stride16", "stride32")
+    feature_indices: Sequence[int] = (1, 4, 10, 15)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         wm, dm = EFFNET_SCALING[self.variant]
         stem = _round_filters(32, wm)
-        x = nn.Conv(stem, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+        pad = _static_same_pad(3, 2)
+        x = nn.Conv(stem, (3, 3), (2, 2), padding=[pad, pad],
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32, name="stem_bn")(x)
         x = nn.silu(x).astype(self.dtype)
 
+        names = ["stride4", "stride8", "stride16", "stride32"]
+        taps = {b: names[i] for i, b in enumerate(sorted(self.feature_indices))}
         outputs: Dict[str, jnp.ndarray] = {}
-        stride = 2
         bid = 0
         for si, (e, c, r, s, k) in enumerate(MBCONV_PLAN):
             c = _round_filters(c, wm)
             r = _round_repeats(r, dm)
             for i in range(r):
                 blk_stride = s if i == 0 else 1
-                if blk_stride == 2:
-                    # record the feature BEFORE downsampling as this stride's
-                    # output (standard multi-scale tap)
-                    outputs[f"stride{stride}"] = x
                 x = MBConv(e, c, blk_stride, k, dtype=self.dtype,
                            name=f"block{bid}")(x, train)
-                if blk_stride == 2:
-                    stride *= 2
+                if bid in taps:
+                    outputs[taps[bid]] = x
                 bid += 1
-        outputs[f"stride{stride}"] = x
         return {n: v for n, v in outputs.items() if n in self.out_features}
 
 
@@ -118,5 +138,6 @@ def build_efficientnet_backbone(cfg, dtype=jnp.float32):
     return EfficientNet(
         variant=cfg.MODEL.EFFICIENTNET.NAME,
         out_features=tuple(cfg.MODEL.EFFICIENTNET.OUT_FEATURES),
+        feature_indices=tuple(cfg.MODEL.EFFICIENTNET.FEATURE_INDICES),
         dtype=dtype,
     )

@@ -985,3 +985,26 @@ def map_pvt_v2_torch_name(name: str):
             return base + table[rest]
         return base + tuple(rest.split("."))
     return tuple(name.replace(".", "/").split("/"))
+
+
+def map_efficientnet_torch_name(name: str):
+    """Reference EfficientNet keys (efficientnet.py:165 — _conv_stem/_bn0,
+    _blocks.{i}._expand_conv/_bn0/_depthwise_conv/_bn1/_se_reduce/
+    _se_expand/_project_conv/_bn2) -> our flax paths."""
+    if name == "_conv_stem":
+        return ("stem_conv",)
+    if name == "_bn0":
+        return ("stem_bn",)
+    m = re.match(r"^_blocks\.(\d+)\.(.*)$", name)
+    if m:
+        i, rest = m.groups()
+        table = {
+            "_expand_conv": ("expand_conv",), "_bn0": ("expand_bn",),
+            "_depthwise_conv": ("dw_conv",), "_bn1": ("dw_bn",),
+            "_se_reduce": ("se_reduce",), "_se_expand": ("se_expand",),
+            "_project_conv": ("project_conv",), "_bn2": ("project_bn",),
+        }
+        if rest in table:
+            return (f"block{i}",) + table[rest]
+        return (f"block{i}",) + tuple(rest.split("."))
+    return tuple(name.replace(".", "/").split("/"))
