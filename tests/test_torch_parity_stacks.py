@@ -581,3 +581,86 @@ def test_efficientnet_b0_activation_parity():
         np.testing.assert_allclose(
             _nchw(ours[nm]), ref[nm].numpy(), rtol=3e-4, atol=3e-4,
             err_msg=f"efficientnet_b0 {nm} diverges")
+
+
+# ---------------------------------------------------------------------------
+# RCDA attention (row_column_decoupled_attention.py:268 MultiheadRCDA —
+# AnchorDETR's factored attention; first true torch differential for it)
+# ---------------------------------------------------------------------------
+
+def test_rcda_attention_parity():
+    from yolov7_d2_tpu.models.layers.rcda import RCDAttention
+
+    rr = ref_module(
+        "yolov7.modeling.backbone.layers.row_column_decoupled_attention")
+    E, NH, B, Q, H, W = 32, 4, 2, 5, 6, 7
+    tm = rr.MultiheadRCDA(E, NH, dropout=0.0).eval()
+    g = torch.Generator().manual_seed(47)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.empty_like(p).uniform_(-0.2, 0.2, generator=g))
+
+    rng = np.random.default_rng(47)
+    q_row = rng.standard_normal((B, Q, E)).astype(np.float32)
+    q_col = rng.standard_normal((B, Q, E)).astype(np.float32)
+    k_row = rng.standard_normal((B, H, W, E)).astype(np.float32)
+    k_col = rng.standard_normal((B, H, W, E)).astype(np.float32)
+    value = rng.standard_normal((B, H, W, E)).astype(np.float32)
+
+    with torch.no_grad():
+        ref, _ = tm(*(torch.from_numpy(a) for a in
+                      (q_row, q_col, k_row, k_col, value)))
+    ref = ref.numpy()          # [Q, B, E] (torch MHA layout)
+
+    fm = RCDAttention(embed_dim=E, num_heads=NH)
+    variables = fm.init(
+        jax.random.PRNGKey(0), *(jnp.asarray(a) for a in
+                                 (q_row, q_col, k_row, k_col, value))
+    )
+    # port: in_proj_weight [5E, E] slices -> q_row/q_col/k_row/k_col/v
+    sd = _state_np(tm)
+    wq = sd["in_proj_weight"]
+    bq = sd["in_proj_bias"]
+    p = variables["params"]
+    for i, name in enumerate(("q_row", "q_col", "k_row", "k_col", "v")):
+        p[name]["kernel"] = jnp.asarray(wq[i * E:(i + 1) * E].T)
+        p[name]["bias"] = jnp.asarray(bq[i * E:(i + 1) * E])
+    p["out_proj"]["kernel"] = jnp.asarray(sd["out_proj.weight"].T)
+    p["out_proj"]["bias"] = jnp.asarray(sd["out_proj.bias"])
+
+    ours = fm.apply({"params": p}, *(jnp.asarray(a) for a in
+                                     (q_row, q_col, k_row, k_col, value)))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.transpose(1, 0, 2), rtol=1e-5, atol=1e-5,
+        err_msg="RCDA attention diverges")
+
+
+# ---------------------------------------------------------------------------
+# PP-YOLO CSP-DarkNet53 (cspdarknet.py:267 with_csp=True — CrossStagePartial
+# blocks with mish, eps 1e-4)
+# ---------------------------------------------------------------------------
+
+def test_cspdarknet53_activation_parity():
+    from yolov7_d2_tpu.models.backbones.darknet import Darknet53
+
+    rc = ref_module("yolov7.modeling.backbone.cspdarknet")
+    tm = rc.DarkNet(53, with_csp=True,
+                    out_features=["layer3", "layer4", "layer5"]).eval()
+    _randomize(tm, seed=53)
+
+    fm = Darknet53(with_csp=True, out_features=("dark3", "dark4", "dark5"))
+    x = np.random.default_rng(53).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), _nhwc(x))
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=wp.map_cspdarknet_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    ours = fm.apply(ported, _nhwc(x))
+    for L in (3, 4, 5):
+        np.testing.assert_allclose(
+            _nchw(ours[f"dark{L}"]), ref[f"layer{L}"].numpy(),
+            rtol=3e-4, atol=3e-4,
+            err_msg=f"cspdarknet layer{L} diverges")

@@ -36,6 +36,63 @@ class DarkResidual(nn.Module):
         return x + y
 
 
+class PPDarkBlock(nn.Module):
+    """PP-YOLO CSP DarkBlock (reference cspdarknet.py:64): optional 1x1
+    downsample ConvNormActivation, then 1x1 (width -> squeeze) and 3x3
+    (squeeze -> width) convs, mish, residual AFTER the downsample. Note the
+    reference's swapped arg names: conv1 maps planes->inplanes."""
+
+    squeeze: int      # reference 'inplanes' (conv1 out)
+    width: int        # reference 'planes' (block in/out)
+    use_down: bool = False
+    down_out: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.use_down:
+            x = BaseConv(self.down_out, 1, 1, act="mish", bn_eps=1e-4,
+                         dtype=self.dtype, name="down")(x, train)
+        y = BaseConv(self.squeeze, 1, 1, act="mish", bn_eps=1e-4,
+                     dtype=self.dtype, name="conv1")(x, train)
+        y = BaseConv(self.width, 3, 1, act="mish", bn_eps=1e-4,
+                     dtype=self.dtype, name="conv2")(y, train)
+        return x + y
+
+
+class CSPDarkStage(nn.Module):
+    """CrossStagePartialBlock (reference cspdarknet.py:124): stride-2 base
+    conv, two partial transitions, DarkBlocks on the transition-2 branch,
+    concat [blocks, transition-1], 1x1 fuse. First stage keeps full width
+    in the blocks; later stages run them at half width (CSP split)."""
+
+    inplanes: int
+    planes: int
+    num_blocks: int
+    first: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cb = lambda f, k, s, name: BaseConv(  # noqa: E731
+            f, k, s, act="mish", bn_eps=1e-4, dtype=self.dtype, name=name
+        )
+        x = cb(self.planes, 3, 2, "base")(x, train)
+        out1 = cb(self.inplanes if not self.first else self.planes,
+                  1, 1, "pt1")(x, train)
+        inner = self.planes if self.first else self.inplanes
+        y = x
+        for j in range(self.num_blocks):
+            y = PPDarkBlock(
+                squeeze=self.inplanes, width=inner,
+                use_down=(j == 0), down_out=inner,
+                dtype=self.dtype, name=f"block{j}",
+            )(y, train)
+        out2 = cb(inner, 1, 1, "pt2")(y, train)
+        out = jnp.concatenate([out2, out1], axis=-1)
+        return cb(self.planes, 1, 1, "fuse")(out, train)
+
+
 class Darknet53(nn.Module):
     stem_out_channels: int = 32
     out_features: Sequence[str] = ("dark3", "dark4", "dark5")
@@ -54,19 +111,31 @@ class Darknet53(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         c = self.stem_out_channels
-        x = BaseConv(c, 3, 1, act=self.act, bn_eps=self.bn_eps,
+        stem_act = "mish" if self.with_csp else self.act
+        x = BaseConv(c, 3, 1, act=stem_act, bn_eps=self.bn_eps,
                      dtype=self.dtype, name="stem")(x, train)
         outputs: Dict[str, jnp.ndarray] = {}
+        if self.with_csp:
+            # faithful PP-YOLO CSP trunk (reference cspdarknet.py:124-215):
+            # CrossStagePartialBlocks with mish, eps 1e-4
+            inplanes = c
+            for i, nblocks in enumerate(self.stage_blocks):
+                planes = 64 * 2 ** i
+                x = CSPDarkStage(
+                    inplanes, planes, nblocks, first=(i == 0),
+                    dtype=self.dtype, name=f"stage{i + 1}",
+                )(x, train)
+                inplanes = planes
+                outputs[f"dark{i + 1}"] = x
+            return {k: v for k, v in outputs.items()
+                    if k in self.out_features}
         for i, nblocks in enumerate(self.stage_blocks):
             c *= 2
             x = BaseConv(c, 3, 2, act=self.act, bn_eps=self.bn_eps,
                          dtype=self.dtype,
                          name=f"stage{i + 1}_down")(x, train)
             if self.with_csp:
-                x = CSPLayer(
-                    c, n=nblocks, act=self.act, bn_eps=self.bn_eps,
-                    dtype=self.dtype, name=f"stage{i + 1}_csp",
-                )(x, train)
+                pass  # handled below (faithful PP-YOLO CSP stage)
             else:
                 for j in range(nblocks):
                     x = DarkResidual(

@@ -34,6 +34,9 @@ def get_activation(name: str = "silu") -> Callable[[jnp.ndarray], jnp.ndarray]:
         return lambda x: nn.leaky_relu(x, negative_slope=0.1)
     if name == "gelu":
         return nn.gelu
+    if name == "mish":
+        # x * tanh(softplus(x)) (reference cspdarknet.py:23 python fallback)
+        return lambda x: x * jnp.tanh(jax.nn.softplus(x))
     if name in ("identity", "none", ""):
         return lambda x: x
     raise ValueError(f"Unsupported activation: {name}")

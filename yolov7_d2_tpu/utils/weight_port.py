@@ -1008,3 +1008,32 @@ def map_efficientnet_torch_name(name: str):
             return (f"block{i}",) + table[rest]
         return (f"block{i}",) + tuple(rest.split("."))
     return tuple(name.replace(".", "/").split("/"))
+
+
+def map_cspdarknet_torch_name(name: str):
+    """Reference PP-YOLO CSP-DarkNet keys (cspdarknet.py:267 DarkNet with
+    with_csp=True) -> our flax paths."""
+    if name == "conv1":
+        return ("stem", "conv")
+    if name == "bn1":
+        return ("stem", "bn")
+    m = re.match(
+        r"^layer(\d)\.(base_layer|partial_transition1|partial_transition2|"
+        r"fuse_transition)\.(\d)$", name)
+    if m:
+        lvl, part, j = m.groups()
+        short = {"base_layer": "base", "partial_transition1": "pt1",
+                 "partial_transition2": "pt2", "fuse_transition": "fuse"}
+        return (f"stage{lvl}", short[part],
+                {0: "conv", 1: "bn"}[int(j)])
+    m = re.match(r"^layer(\d)\.stage_layers\.(\d+)\.downsample\.(\d)$", name)
+    if m:
+        lvl, blk, j = m.groups()
+        return (f"stage{lvl}", f"block{blk}", "down",
+                {0: "conv", 1: "bn"}[int(j)])
+    m = re.match(r"^layer(\d)\.stage_layers\.(\d+)\.(conv|bn)(\d)$", name)
+    if m:
+        lvl, blk, kind, k = m.groups()
+        return (f"stage{lvl}", f"block{blk}", f"conv{k}",
+                "conv" if kind == "conv" else "bn")
+    return tuple(name.replace(".", "/").split("/"))
