@@ -384,6 +384,12 @@ def ref_module(dotted: str):
     ``yolov7.modeling.backbone.darknetx``) with all parent package
     ``__init__`` files bypassed (they chain-import heavy deps)."""
     install_stubs()
+    # pre-stub the backbone package chain: leaf modules in OTHER subpackages
+    # (neck/, head/) relative-import `..backbone.layers.wrappers`, which
+    # would otherwise execute the heavy backbone/__init__
+    for extra in ("yolov7", "yolov7.modeling", "yolov7.modeling.backbone",
+                  "yolov7.modeling.backbone.layers"):
+        _stub(extra, path=os.path.join(REF_ROOT, *extra.split(".")))
     parts = dotted.split(".")
     for i in range(1, len(parts)):
         name = ".".join(parts[:i])

@@ -664,3 +664,36 @@ def test_cspdarknet53_activation_parity():
             _nchw(ours[f"dark{L}"]), ref[f"layer{L}"].numpy(),
             rtol=3e-4, atol=3e-4,
             err_msg=f"cspdarknet layer{L} diverges")
+
+
+def test_yolofpn_activation_parity():
+    """YOLOv3 FPN neck (neck/yolo_fpn.py:13) with SPP: 5-conv stacks,
+    lrelu body + default-silu SPP quirk, torch-default BN eps."""
+    from yolov7_d2_tpu.models.necks.yolo_fpn import YOLOFPN
+
+    rf = ref_module("yolov7.modeling.neck.yolo_fpn")
+    tm = rf.YOLOFPN(with_spp=True).eval()
+    _randomize(tm, seed=59)
+
+    fm = YOLOFPN(with_spp=True)
+    rng = np.random.default_rng(59)
+    feats = {
+        "dark3": rng.standard_normal((1, 256, 16, 16)).astype(np.float32),
+        "dark4": rng.standard_normal((1, 512, 8, 8)).astype(np.float32),
+        "dark5": rng.standard_normal((1, 1024, 4, 4)).astype(np.float32),
+    }
+    jfeats = [_nhwc(feats[k]) for k in ("dark3", "dark4", "dark5")]
+    variables = fm.init(jax.random.PRNGKey(0), jfeats)
+    ported, report = wp.port_torch_state_dict(
+        _state_np(tm), variables, name_mapper=wp.map_yolofpn_torch_name)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm({k: torch.from_numpy(v) for k, v in feats.items()})
+    ours = fm.apply(ported, jfeats)
+    # ref returns (out0=s32, out1=s16, out2=s8); ours (s8, s16, s32)
+    for o, r, nm in ((ours[2], ref[0], "P5"), (ours[1], ref[1], "P4"),
+                     (ours[0], ref[2], "P3")):
+        np.testing.assert_allclose(
+            _nchw(o), r.numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"yolofpn {nm} diverges")

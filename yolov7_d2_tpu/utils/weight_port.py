@@ -1037,3 +1037,21 @@ def map_cspdarknet_torch_name(name: str):
         return (f"stage{lvl}", f"block{blk}", f"conv{k}",
                 "conv" if kind == "conv" else "bn")
     return tuple(name.replace(".", "/").split("/"))
+
+
+def map_yolofpn_torch_name(name: str):
+    """Reference YOLOFPN keys (neck/yolo_fpn.py:13) -> our flax paths:
+    out{0,1,2}.{j} 5-conv stacks -> block{5,4,3}/conv{j},
+    out{1,2}_cbl laterals, spp.conv{1,2}."""
+    m = re.match(r"^out(\d)\.(\d)\.(conv|bn)$", name)
+    if m:
+        lvl, j, leaf = m.groups()
+        return ({"0": "block5", "1": "block4", "2": "block3"}[lvl],
+                f"conv{j}", leaf)
+    m = re.match(r"^out(\d)_cbl\.(conv|bn)$", name)
+    if m:
+        return (f"lateral{m.group(1)}", m.group(2))
+    m = re.match(r"^spp\.conv(\d)\.(conv|bn)$", name)
+    if m:
+        return ("spp", f"conv{m.group(1)}", m.group(2))
+    return tuple(name.replace(".", "/").split("/"))
