@@ -83,6 +83,8 @@ def install_stubs() -> None:
 
     fvwi.c2_msra_fill = c2_msra_fill
     fvwi.c2_xavier_fill = c2_xavier_fill
+    fvnn.c2_xavier_fill = c2_xavier_fill  # encoder.py: from fvcore.nn import
+    fvnn.c2_msra_fill = c2_msra_fill
     fvnn.weight_init = fvwi
     fv.nn = fvnn
 

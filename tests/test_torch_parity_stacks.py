@@ -697,3 +697,73 @@ def test_yolofpn_activation_parity():
         np.testing.assert_allclose(
             _nchw(o), r.numpy(), rtol=3e-4, atol=3e-4,
             err_msg=f"yolofpn {nm} diverges")
+
+
+# ---------------------------------------------------------------------------
+# YOLOF DilatedEncoder + Decoder (head/encoder.py:12, head/decoder.py:10)
+# ---------------------------------------------------------------------------
+
+def _yolof_cfgs():
+    ns = types.SimpleNamespace
+    enc = ns(BACKBONE_LEVEL="res5", IN_CHANNELS=64, NUM_CHANNELS=32,
+             BLOCK_MID_CHANNELS=8, NUM_RESIDUAL_BLOCKS=4,
+             BLOCK_DILATIONS=[2, 4, 6, 8], NORM="BN", ACTIVATION="ReLU")
+    dec = ns(IN_CHANNELS=32, NUM_CLASSES=7, NUM_ANCHORS=5,
+             CLS_NUM_CONVS=2, REG_NUM_CONVS=4, NORM="BN",
+             ACTIVATION="ReLU", PRIOR_PROB=0.01)
+    return ns(MODEL=ns(YOLOF=ns(ENCODER=enc, DECODER=dec)))
+
+
+def test_yolof_encoder_decoder_parity():
+    from yolov7_d2_tpu.models.meta_arch.yolof import (
+        DilatedEncoder,
+        YOLOFDecoder,
+    )
+
+    cfg = _yolof_cfgs()
+    re_enc = ref_module("yolov7.modeling.head.encoder")
+    re_dec = ref_module("yolov7.modeling.head.decoder")
+
+    class _Shape:
+        channels = 64
+
+    tm_enc = re_enc.DilatedEncoder(cfg, {"res5": _Shape()}).eval()
+    tm_dec = re_dec.Decoder(cfg).eval()
+    _randomize(tm_enc, seed=61)
+    _randomize(tm_dec, seed=62)
+
+    x = np.random.default_rng(61).uniform(-1, 1, (1, 64, 8, 8)).astype(
+        np.float32)
+    with torch.no_grad():
+        enc_ref = tm_enc(torch.from_numpy(x))
+        cls_ref, reg_ref = tm_dec(enc_ref)
+
+    fm_enc = DilatedEncoder(channels=32)
+    v_enc = fm_enc.init(jax.random.PRNGKey(0), _nhwc(x))
+    p_enc, rep = wp.port_torch_state_dict(
+        _state_np(tm_enc), v_enc, name_mapper=wp.map_yolof_encoder_torch_name)
+    assert not rep["unused"], rep["unused"][:8]
+    enc_ours = fm_enc.apply(p_enc, _nhwc(x))
+    np.testing.assert_allclose(
+        _nchw(enc_ours), enc_ref.numpy(), rtol=3e-4, atol=3e-4,
+        err_msg="yolof encoder diverges")
+
+    fm_dec = YOLOFDecoder(num_classes=7, num_anchors=5)
+    v_dec = fm_dec.init(jax.random.PRNGKey(0), jnp.asarray(enc_ours))
+    p_dec, rep = wp.port_torch_state_dict(
+        _state_np(tm_dec), v_dec, name_mapper=wp.map_yolof_decoder_torch_name)
+    assert not rep["unused"], rep["unused"][:8]
+    cls_ours, reg_ours = fm_dec.apply(p_dec, jnp.asarray(enc_ours))
+    # ref cls [N, A*C, H, W] with (a, c) channel order; ours [N, H*W*A, C]
+    # in (h, w, a) order — rearrange ref to ours
+    N, _, H, W = cls_ref.shape
+    cls_ref_r = cls_ref.numpy().reshape(N, 5, 7, H, W).transpose(
+        0, 3, 4, 1, 2).reshape(N, H * W * 5, 7)
+    reg_ref_r = reg_ref.numpy().reshape(N, 5, 4, H, W).transpose(
+        0, 3, 4, 1, 2).reshape(N, H * W * 5, 4)
+    np.testing.assert_allclose(
+        np.asarray(cls_ours), cls_ref_r, rtol=3e-4, atol=3e-4,
+        err_msg="yolof decoder cls (implicit-objectness fold) diverges")
+    np.testing.assert_allclose(
+        np.asarray(reg_ours), reg_ref_r, rtol=3e-4, atol=3e-4,
+        err_msg="yolof decoder reg diverges")

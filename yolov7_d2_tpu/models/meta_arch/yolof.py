@@ -36,9 +36,11 @@ class DilatedEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def conv_bn(y, f, k, d, name):
+            # reference encoder convs keep their (BN-redundant) biases
+            # (encoder.py nn.Conv2d defaults) — ported checkpoints carry them
             p = d * (k - 1) // 2
             y = nn.Conv(f, (k, k), padding=[(p, p), (p, p)],
-                        kernel_dilation=(d, d), use_bias=False,
+                        kernel_dilation=(d, d), use_bias=True,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"{name}_conv")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -66,7 +68,7 @@ class YOLOFDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         def conv_bn_relu(y, f, name):
-            y = nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            y = nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"{name}_conv")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -92,15 +94,22 @@ class YOLOFDecoder(nn.Module):
                           name="object_pred")(reg)
 
         b, h, w, _ = cls_out.shape
-        cls_out = cls_out.reshape(b, h * w * self.num_anchors, self.num_classes)
-        obj_out = obj_out.reshape(b, h * w * self.num_anchors, 1)
-        # implicit objectness (reference decoder.py folds objectness into the
-        # class logits via log(1 + e^cls·e^obj) - log(1+e^cls) - log(1+e^obj);
-        # the additive form below has equivalent ranking and a simpler,
-        # stabler gradient)
-        logits = cls_out + obj_out
+        cls_out = cls_out.reshape(
+            b, h * w * self.num_anchors, self.num_classes
+        ).astype(jnp.float32)
+        obj_out = obj_out.reshape(
+            b, h * w * self.num_anchors, 1
+        ).astype(jnp.float32)
+        # implicit objectness fold (reference decoder.py:104-108):
+        # cls + obj - log(1 + e^cls + e^obj), computed via a stable
+        # logsumexp over {0, cls, obj} (identical values, no exp overflow)
+        stacked = jnp.stack(
+            [jnp.zeros_like(cls_out), cls_out,
+             jnp.broadcast_to(obj_out, cls_out.shape)], axis=0
+        )
+        logits = cls_out + obj_out - jax.nn.logsumexp(stacked, axis=0)
         reg_out = reg_out.reshape(b, h * w * self.num_anchors, 4)
-        return logits.astype(jnp.float32), reg_out.astype(jnp.float32)
+        return logits, reg_out.astype(jnp.float32)
 
 
 def yolof_anchors(h: int, w: int, stride: int = 32,

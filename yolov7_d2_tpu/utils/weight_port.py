@@ -1055,3 +1055,38 @@ def map_yolofpn_torch_name(name: str):
     if m:
         return ("spp", f"conv{m.group(1)}", m.group(2))
     return tuple(name.replace(".", "/").split("/"))
+
+
+def map_yolof_encoder_torch_name(name: str):
+    """Reference DilatedEncoder keys (head/encoder.py:12) -> our paths:
+    lateral_conv/lateral_norm, fpn_conv/fpn_norm,
+    dilated_encoder_blocks.{i}.conv{1,2,3}.{0 conv, 1 norm}."""
+    table = {
+        "lateral_conv": ("lateral_conv",), "lateral_norm": ("lateral_bn",),
+        "fpn_conv": ("fpn_conv",), "fpn_norm": ("fpn_bn",),
+    }
+    if name in table:
+        return table[name]
+    m = re.match(r"^dilated_encoder_blocks\.(\d+)\.conv(\d)\.(\d)$", name)
+    if m:
+        i, k, j = m.groups()
+        part = {"1": "reduce", "2": "dilated", "3": "project"}[k]
+        leaf = {"0": "conv", "1": "bn"}[j]
+        return (f"b{i}_{part}_{leaf}",)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_yolof_decoder_torch_name(name: str):
+    """Reference Decoder keys (head/decoder.py:10) -> our paths:
+    cls_subnet/bbox_subnet Sequential triplets (conv, norm, act) ->
+    cls_{i}/reg_{i}; heads keep their names."""
+    m = re.match(r"^(cls|bbox)_subnet\.(\d+)$", name)
+    if m:
+        kind, idx = m.group(1), int(m.group(2))
+        i, j = idx // 3, idx % 3           # (conv, norm, act) triplets
+        pre = "cls" if kind == "cls" else "reg"
+        leaf = {0: "conv", 1: "bn"}[j]
+        return (f"{pre}_{i}_{leaf}",)
+    if name in ("cls_score", "bbox_pred", "object_pred"):
+        return (name,)
+    return tuple(name.replace(".", "/").split("/"))
