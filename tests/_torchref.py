@@ -63,6 +63,9 @@ def install_stubs() -> None:
     _stub("alfred").logger = _AlfredLogger()
     _stub("alfred.utils")
     _stub("alfred.utils.log").logger = _AlfredLogger()
+    _stub("alfred.dl")
+    _stub("alfred.dl.torch")
+    _stub("alfred.dl.torch.common").print_tensor = lambda *a, **k: None
 
     # ---- fvcore weight init (real minimal implementations — they only
     # affect init, which parity tests overwrite anyway)
@@ -183,7 +186,14 @@ def install_stubs() -> None:
 
     _stub("detectron2.utils.file_io").PathManager = _PathManager
     import logging as _logging
-    _stub("detectron2.utils.logger").logging = _logging
+    _log = _stub("detectron2.utils.logger")
+    _log.logging = _logging
+    _log.log_first_n = lambda *a, **k: None
+    _structs = _stub("detectron2.structures")
+    _structs.Boxes = type("Boxes", (), {})
+    _structs.ImageList = type("ImageList", (), {})
+    _structs.Instances = type("Instances", (), {})
+    _structs.BitMasks = type("BitMasks", (), {})
 
     @dataclass
     class ShapeSpec:
@@ -336,9 +346,23 @@ def install_stubs() -> None:
             return self._map[name]
 
     _stub("detectron2.utils.registry").Registry = _D2Registry
+    _stub("detectron2.modeling.meta_arch")
+    _stub("detectron2.modeling.meta_arch.build").META_ARCH_REGISTRY = (
+        _D2Registry("META_ARCH"))
     _stub("detectron2.layers.shape_spec").ShapeSpec = ShapeSpec
 
     layers.ShapeSpec = ShapeSpec
+    # solov2_head.py imports these from detectron2.layers; only cat() runs
+    # in the parity path
+    import torch as _t
+    layers.cat = lambda ts, dim=0: _t.cat(ts, dim)
+    layers.batched_nms = None  # inference-only, never called in parity
+    layers.paste_masks_in_image = None
+    _anch = _stub("detectron2.modeling.anchor_generator")
+    _anch.DefaultAnchorGenerator = type("DefaultAnchorGenerator",
+                                        (nn.Module,), {})
+    _boxreg = _stub("detectron2.modeling.box_regression")
+    _boxreg.Box2BoxTransform = type("Box2BoxTransform", (), {})
     layers.DeformConv = DeformConv
     layers.ModulatedDeformConv = ModulatedDeformConv
     layers.get_norm = get_norm
@@ -350,6 +374,8 @@ def install_stubs() -> None:
     bn_mod.get_norm = get_norm
     bn_mod.FrozenBatchNorm2d = FrozenBatchNorm2d
     mb.Backbone = Backbone
+    mb.build_backbone = lambda *a, **k: None  # never called in parity paths
+    mb.BACKBONE_REGISTRY = _D2Registry("BACKBONE")
     # res2next.py imports `detectron2.modeling.backbone.backbone` directly
     _stub("detectron2.modeling.backbone.backbone").Backbone = Backbone
     # dla.py imports d2 resnet block types (only re-exported, never built)

@@ -767,3 +767,87 @@ def test_yolof_encoder_decoder_parity():
     np.testing.assert_allclose(
         np.asarray(reg_ours), reg_ref_r, rtol=3e-4, atol=3e-4,
         err_msg="yolof decoder reg diverges")
+
+
+# ---------------------------------------------------------------------------
+# SOLOv2 heads (head/solov2_head.py:21/:161 — coord-conv towers, progressive
+# upsample mask fusion)
+# ---------------------------------------------------------------------------
+
+def _solov2_cfg():
+    ns = types.SimpleNamespace
+    return ns(MODEL=ns(
+        MASK_ON=True,
+        SOLOV2=ns(
+            NUM_CLASSES=7, NUM_KERNELS=16, NUM_GRIDS=[8, 6],
+            INSTANCE_IN_FEATURES=["p2", "p3"],
+            FPN_INSTANCE_STRIDES=[8, 16], INSTANCE_IN_CHANNELS=32,
+            INSTANCE_CHANNELS=64, NUM_INSTANCE_CONVS=2, TYPE_DCN="DCN",
+            USE_DCN_IN_INSTANCE=False, USE_COORD_CONV=True,
+            NORM="GN", PRIOR_PROB=0.01,
+            NUM_MASKS=64, MASK_IN_FEATURES=["p2", "p3", "p4", "p5"],
+            MASK_IN_CHANNELS=32, MASK_CHANNELS=64,
+        ),
+    ))
+
+
+def test_solov2_ins_head_parity():
+    from yolov7_d2_tpu.models.meta_arch.solov2 import SOLOv2InsHead
+
+    rs = ref_module("yolov7.modeling.head.solov2_head")
+    cfg = _solov2_cfg()
+
+    class _Shape:
+        channels = 32
+
+    tm = rs.SOLOv2InsHead(cfg, [_Shape(), _Shape()]).eval()
+    _randomize(tm, seed=67)
+
+    x = np.random.default_rng(67).uniform(-1, 1, (1, 32, 16, 16)).astype(
+        np.float32)
+    with torch.no_grad():
+        cate_ref, kernel_ref = tm([torch.from_numpy(x)])
+
+    fm = SOLOv2InsHead(num_classes=7, num_kernels=16, channels=64,
+                       num_convs=2)
+    v = fm.init(jax.random.PRNGKey(0), _nhwc(x), 8)
+    p, rep = wp.port_torch_state_dict(
+        _state_np(tm), v, name_mapper=wp.map_solov2_ins_torch_name)
+    assert not rep["unused"], rep["unused"][:8]
+    cate_ours, kernel_ours = fm.apply(p, _nhwc(x), 8)
+    np.testing.assert_allclose(
+        _nchw(cate_ours), cate_ref[0].numpy(), rtol=3e-4, atol=3e-4,
+        err_msg="solov2 cate tower diverges")
+    np.testing.assert_allclose(
+        _nchw(kernel_ours), kernel_ref[0].numpy(), rtol=3e-4, atol=3e-4,
+        err_msg="solov2 kernel tower diverges")
+
+
+def test_solov2_mask_head_parity():
+    from yolov7_d2_tpu.models.meta_arch.solov2 import SOLOv2MaskHead
+
+    rs = ref_module("yolov7.modeling.head.solov2_head")
+    cfg = _solov2_cfg()
+
+    class _Shape:
+        channels = 32
+
+    tm = rs.SOLOv2MaskHead(cfg, [_Shape()] * 4).eval()
+    _randomize(tm, seed=71)
+
+    rng = np.random.default_rng(71)
+    feats = [rng.uniform(-1, 1, (1, 32, 16 // 2 ** i, 16 // 2 ** i))
+             .astype(np.float32) for i in range(4)]
+    with torch.no_grad():
+        ref = tm([torch.from_numpy(f) for f in feats])
+
+    fm = SOLOv2MaskHead(channels=64, num_masks=64)
+    jfeats = [_nhwc(f) for f in feats]
+    v = fm.init(jax.random.PRNGKey(0), jfeats)
+    p, rep = wp.port_torch_state_dict(
+        _state_np(tm), v, name_mapper=wp.map_solov2_mask_torch_name)
+    assert not rep["unused"], rep["unused"][:8]
+    ours = fm.apply(p, jfeats)
+    np.testing.assert_allclose(
+        _nchw(ours), ref.numpy(), rtol=3e-4, atol=3e-4,
+        err_msg="solov2 mask head diverges")

@@ -40,7 +40,7 @@ class SemSegFPNHead(nn.Module):
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name=f"l{i}_conv{j}")(x)
                 x = nn.relu(
-                    nn.GroupNorm(num_groups=min(32, self.conv_dims),
+                    nn.GroupNorm(num_groups=min(32, self.conv_dims), epsilon=1e-5,
                                  dtype=jnp.float32, name=f"l{i}_gn{j}")(x)
                 ).astype(self.dtype)
                 if j < n_ups:

@@ -67,7 +67,7 @@ class MaskHeadSmallConv(nn.Module):
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"lay{i}")(x)
             x = nn.relu(
-                nn.GroupNorm(num_groups=min(8, d), dtype=jnp.float32,
+                nn.GroupNorm(num_groups=min(8, d), epsilon=1e-5, dtype=jnp.float32,
                              name=f"gn{i}")(x)
             ).astype(self.dtype)
             if i > 0:

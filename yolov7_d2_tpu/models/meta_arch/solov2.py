@@ -42,9 +42,13 @@ class SOLOv2InsHead(nn.Module):
     def __call__(self, x: jnp.ndarray, grid: int, train: bool = False):
         """x: one FPN level; resized to (grid, grid) with coord channels."""
         b = x.shape[0]
-        x = coord_features(x)
+        # reference solov2_head.py:132-143 APPENDS the coord channels (the
+        # category tower then strips the LAST two channels after the resize)
+        x = _coord_append(x)
+        # antialias=False: torch F.interpolate(bilinear) does not antialias
+        # on downscale (jax.image.resize does by default)
         x = jax.image.resize(
-            x, (b, grid, grid, x.shape[-1]), "bilinear"
+            x, (b, grid, grid, x.shape[-1]), "bilinear", antialias=False
         ).astype(self.dtype)
         cate = x[..., :-2]  # category tower runs without coords (reference)
         kernel = x
@@ -66,11 +70,11 @@ class SOLOv2InsHead(nn.Module):
                                  dtype=self.dtype, param_dtype=jnp.float32,
                                  name=f"kernel_conv_{i}")(kernel)
             cate = nn.relu(
-                nn.GroupNorm(num_groups=min(32, self.channels), dtype=jnp.float32,
+                nn.GroupNorm(num_groups=min(32, self.channels), epsilon=1e-5, dtype=jnp.float32,
                              name=f"cate_gn_{i}")(cate)
             ).astype(self.dtype)
             kernel = nn.relu(
-                nn.GroupNorm(num_groups=min(32, self.channels), dtype=jnp.float32,
+                nn.GroupNorm(num_groups=min(32, self.channels), epsilon=1e-5, dtype=jnp.float32,
                              name=f"kernel_gn_{i}")(kernel)
             ).astype(self.dtype)
         cate_pred = nn.Conv(
@@ -85,30 +89,55 @@ class SOLOv2InsHead(nn.Module):
         return cate_pred.astype(jnp.float32), kernel_pred.astype(jnp.float32)
 
 
+def _coord_append(x: jnp.ndarray) -> jnp.ndarray:
+    """APPEND normalized (x, y) coordinate channels — the SOLOv2 order
+    (reference solov2_head.py:142 ``cat([feat, cat([x, y], 1)], 1)``;
+    SparseInst PREPENDS instead, see sparseinst.coord_features)."""
+    b, h, w, _ = x.shape
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.broadcast_to(
+        jnp.stack([xx, yy], axis=-1)[None], (b, h, w, 2)
+    ).astype(x.dtype)
+    return jnp.concatenate([x, coords], axis=-1)
+
+
 class SOLOv2MaskHead(nn.Module):
+    """Reference solov2_head.py:161: level i runs i conv-GN-relu +
+    2x-bilinear-upsample stages (level 0: one conv, no upsample; level 3
+    gets appended coords), the per-level outputs SUM at P2 resolution, and
+    the prediction is 1x1 conv -> GN -> relu."""
+
     channels: int = 128
     num_masks: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        """feats: P2..P5; fuse to unified mask features at P2 resolution."""
-        b, h, w, _ = feats[0].shape
-        fused = []
-        for i, f in enumerate(feats):
-            y = f if i < 3 else coord_features(f)
+        def conv_gn_relu(y, name):
             y = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, param_dtype=jnp.float32,
-                        name=f"conv_{i}")(y)
-            y = nn.relu(
-                nn.GroupNorm(num_groups=min(32, self.channels), dtype=jnp.float32,
-                             name=f"gn_{i}")(y)
-            )
-            y = jax.image.resize(y, (b, h, w, self.channels), "bilinear")
-            fused.append(y)
-        x = sum(fused)
+                        name=f"{name}_conv")(y)
+            return nn.relu(
+                nn.GroupNorm(num_groups=min(32, self.channels),
+                             epsilon=1e-5, dtype=jnp.float32, name=f"{name}_gn")(y)
+            ).astype(self.dtype)
+
+        acc = conv_gn_relu(feats[0], "l0_c0")
+        for i in range(1, len(feats)):
+            y = feats[i] if i != 3 else _coord_append(feats[i])
+            for j in range(i):
+                y = conv_gn_relu(y, f"l{i}_c{j}")
+                b_, h_, w_, c_ = y.shape
+                y = jax.image.resize(
+                    y, (b_, h_ * 2, w_ * 2, c_), "bilinear"
+                ).astype(self.dtype)
+            acc = acc + y
         x = nn.Conv(self.num_masks, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="pred")(x)
+                    param_dtype=jnp.float32, name="pred_conv")(acc)
+        x = nn.GroupNorm(num_groups=min(32, self.num_masks),
+                         epsilon=1e-5, dtype=jnp.float32, name="pred_gn")(x)
         return nn.relu(x).astype(jnp.float32)
 
 

@@ -1090,3 +1090,32 @@ def map_yolof_decoder_torch_name(name: str):
     if name in ("cls_score", "bbox_pred", "object_pred"):
         return (name,)
     return tuple(name.replace(".", "/").split("/"))
+
+
+def map_solov2_ins_torch_name(name: str):
+    """Reference SOLOv2InsHead keys (solov2_head.py:21):
+    {cate,kernel}_tower.{3j or 2j}.<conv|gn> Sequential triplets/pairs ->
+    our {cate,kernel}_conv_{j}/{cate,kernel}_gn_{j}; cate_pred/kernel_pred."""
+    m = re.match(r"^(cate|kernel)_tower\.(\d+)$", name)
+    if m:
+        kind, idx = m.group(1), int(m.group(2))
+        # with GN: each tower conv occupies 3 slots (conv, gn, relu)
+        i, j = idx // 3, idx % 3
+        return (f"{kind}_{'conv' if j == 0 else 'gn'}_{i}",)
+    if name in ("cate_pred", "kernel_pred"):
+        return (name,)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def map_solov2_mask_torch_name(name: str):
+    """Reference SOLOv2MaskHead keys (solov2_head.py:161):
+    convs_all_levels.{i}.conv{j}.{0 conv, 1 gn} -> l{i}_c{j}_{conv,gn};
+    conv_pred.{0,1} -> pred_{conv,gn}."""
+    m = re.match(r"^convs_all_levels\.(\d+)\.conv(\d+)\.(\d)$", name)
+    if m:
+        i, j, k = m.groups()
+        return (f"l{i}_c{j}_{'conv' if k == '0' else 'gn'}",)
+    m = re.match(r"^conv_pred\.(\d)$", name)
+    if m:
+        return (f"pred_{'conv' if m.group(1) == '0' else 'gn'}",)
+    return tuple(name.replace(".", "/").split("/"))
