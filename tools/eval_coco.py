@@ -9,6 +9,10 @@ eval path over DATASETS.TEST and prints AP metrics.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def register_builtin_eval_sets():
@@ -73,11 +77,31 @@ def main():
             pre_nms_topk=cfg.MODEL.YOLO.NMS_PRE_TOPK,
         )
 
+    kpts_mode = cfg.MODEL.META_ARCHITECTURE == "YOLOX_KPTS"
+    if kpts_mode:
+        from yolov7_d2_tpu.evaluation.coco_eval import COCOKeypointEvaluator
+        from yolov7_d2_tpu.models.meta_arch.yolox_kpts import (
+            yolox_kpts_postprocess,
+        )
+
+        @jax.jit
+        def predict_kpts(variables, images):
+            out = model.apply(variables, images, train=False)
+            return yolox_kpts_postprocess(
+                out,
+                conf_threshold=cfg.MODEL.YOLO.CONF_THRESHOLD,
+                nms_threshold=cfg.MODEL.YOLO.NMS_THRESHOLD,
+                max_detections=cfg.MODEL.YOLO.MAX_DETECTIONS,
+                pre_nms_topk=cfg.MODEL.YOLO.NMS_PRE_TOPK,
+            )
+
     mapper = SimpleDatasetMapper(cfg, is_train=False)
     loader = build_detection_test_loader(cfg, records, mapper, args.batch)
     evaluator = COCOEvaluator(cfg.MODEL.YOLO.CLASSES)
+    kpt_eval = COCOKeypointEvaluator(1) if kpts_mode else None
     for batch in loader:
-        dets = jax.device_get(predict(variables, batch["image"]))
+        fn = predict_kpts if kpts_mode else predict
+        dets = jax.device_get(fn(variables, batch["image"]))
         for i in range(len(batch["image"])):
             scale = float(batch["scale"][i])
             valid = dets.valid[i]
@@ -93,9 +117,28 @@ def main():
                 batch["gt_boxes"][i][gv] / scale,
                 batch["gt_classes"][i][gv],
             )
+            if kpts_mode and getattr(dets, "keypoints", None) is not None:
+                kp = dets.keypoints[i][valid].copy()
+                kp[..., :2] /= scale
+                kpt_eval.add_pred_keypoints(
+                    int(batch["image_id"][i]), kp, dets.scores[i][valid],
+                )
+                gb = batch["gt_boxes"][i][gv] / scale
+                areas = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
+                gkp = np.asarray(batch["gt_keypoints"][i][gv], np.float64)
+                gkp[..., :2] /= scale
+                kpt_eval.add_gt_keypoints(
+                    int(batch["image_id"][i]), gkp, areas=np.asarray(areas),
+                    boxes=np.stack([gb[:, 0], gb[:, 1], gb[:, 2] - gb[:, 0],
+                                    gb[:, 3] - gb[:, 1]], -1),
+                )
     results = evaluator.evaluate()
     for k, v in results.items():
         print(f"{k}: {v:.4f}" if np.isfinite(v) else f"{k}: nan")
+    if kpt_eval is not None:
+        print("-- keypoints (OKS) --")
+        for k, v in kpt_eval.evaluate().items():
+            print(f"kpt_{k}: {v:.4f}" if np.isfinite(v) else f"kpt_{k}: nan")
 
 
 if __name__ == "__main__":
