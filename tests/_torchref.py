@@ -414,9 +414,11 @@ def ref_module(dotted: str):
     install_stubs()
     # pre-stub the backbone package chain: leaf modules in OTHER subpackages
     # (neck/, head/) relative-import `..backbone.layers.wrappers`, which
-    # would otherwise execute the heavy backbone/__init__
-    for extra in ("yolov7", "yolov7.modeling", "yolov7.modeling.backbone",
-                  "yolov7.modeling.backbone.layers"):
+    # would otherwise execute the heavy backbone/__init__. The `layers`
+    # package itself is NOT stubbed — its real __init__ is light (wrappers
+    # + activations) and efficientnet.py does `from .layers import Conv2d`,
+    # which needs the executed module, not an empty stub.
+    for extra in ("yolov7", "yolov7.modeling", "yolov7.modeling.backbone"):
         _stub(extra, path=os.path.join(REF_ROOT, *extra.split(".")))
     parts = dotted.split(".")
     for i in range(1, len(parts)):

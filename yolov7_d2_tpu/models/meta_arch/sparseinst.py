@@ -28,7 +28,6 @@ from yolov7_d2_tpu.core.registry import META_ARCH_REGISTRY
 from yolov7_d2_tpu.models.backbones.resnet import ResNet
 from yolov7_d2_tpu.models.necks.yolo_pafpn import upsample2x_nearest
 from yolov7_d2_tpu.ops.losses import (
-    dice_loss,
     dice_score,
     sigmoid_binary_cross_entropy,
     sigmoid_focal_loss,
@@ -298,9 +297,11 @@ def sparseinst_match(
     g = gt_masks.shape[1]
     pm = pred_masks.reshape(b, n, -1)
     gm = gt_masks.reshape(b, g, -1).astype(jnp.float32)
-    dice = jax.vmap(
-        lambda p, t: dice_score(p[:, None, :], t[None, :, :])
-    )(pm, gm)                                              # [B, N, G]
+    # reference dice_score eps is 1e-4 (sparseinst_loss.py:34)
+    inter2 = 2.0 * jnp.einsum("bnp,bgp->bng", pm, gm)
+    den2 = (jnp.sum(pm * pm, -1)[:, :, None]
+            + jnp.sum(gm * gm, -1)[:, None, :])
+    dice = inter2 / (den2 + 1e-4)                          # [B, N, G]
     prob = jax.nn.sigmoid(out["cls_logits"])               # [B, N, C]
     cls_prob = jnp.take_along_axis(
         prob, jnp.clip(gt_classes, 0)[:, None, :], axis=-1
@@ -331,10 +332,13 @@ def sparseinst_losses(
     mask_logits = out["mask_logits"]                       # [B, N, Hm, Wm]
     b, n, hm, wm = mask_logits.shape
     g = gt_masks_full.shape[1]
+    # reference criterion (sparseinst_loss.py:149-155): bilinear resize,
+    # align_corners=False, NO antialias, and the targets stay SOFT (edge
+    # pixels in (0,1)) for both dice and pixel BCE
     gt_small = jax.image.resize(
-        gt_masks_full.astype(jnp.float32), (b, g, hm, wm), "bilinear"
+        gt_masks_full.astype(jnp.float32), (b, g, hm, wm), "bilinear",
+        antialias=False,
     )
-    gt_small = (gt_small > 0.5).astype(jnp.float32)
 
     pred_of_gt, match_ok = sparseinst_match(
         jax.lax.stop_gradient(out), gt_small, gt_classes, gt_valid
@@ -359,16 +363,23 @@ def sparseinst_losses(
     mp = jax.nn.sigmoid(matched_logits).reshape(b, g, -1)
     mt = gt_small.reshape(b, g, -1)
     ok = match_ok.astype(jnp.float32)
-    loss_dice = jnp.sum(dice_loss(mp, mt, smooth=1.0) * ok) / num_inst
+    # reference dice (sparseinst_loss.py:38): squared denominators,
+    # eps 1e-4, no numerator smoothing
+    dnum = 2.0 * jnp.sum(mp * mt, axis=-1)
+    dden = jnp.sum(mp * mp, axis=-1) + jnp.sum(mt * mt, axis=-1)
+    loss_dice = jnp.sum((1.0 - dnum / (dden + 1e-4)) * ok) / num_inst
     bce = sigmoid_binary_cross_entropy(
         matched_logits.reshape(b, g, -1), mt
     ).mean(-1)
     loss_pix = jnp.sum(bce * ok) / num_inst
 
-    # IoU-aware objectness: target = IoU(matched mask, gt)
-    inter = jnp.sum((mp > 0.5) * mt, axis=-1)
-    union = jnp.sum((mp > 0.5) + mt - (mp > 0.5) * mt, axis=-1)
-    iou_t = jax.lax.stop_gradient(inter / jnp.maximum(union, 1.0))
+    # IoU-aware objectness target (compute_mask_iou, sparseinst_loss.py:20):
+    # preds binarized at sigmoid >= 0.4, targets at > 0.5, eps 1e-6
+    bp = (mp >= 0.4).astype(jnp.float32)
+    bt = (mt > 0.5).astype(jnp.float32)
+    inter = jnp.sum(bp * bt, axis=-1)
+    union = jnp.sum(bt, axis=-1) + jnp.sum(bp, axis=-1) - inter
+    iou_t = jax.lax.stop_gradient(inter / (union + 1e-6))
     matched_obj = jnp.take_along_axis(out["obj_logits"], pred_of_gt, axis=1)
     loss_obj = jnp.sum(
         sigmoid_binary_cross_entropy(matched_obj, iou_t) * ok
