@@ -91,6 +91,61 @@ def install_stubs() -> None:
     fvnn.weight_init = fvwi
     fv.nn = fvnn
 
+    # fvcore loss functions (real implementations of the public formulas —
+    # sparseinst_loss.py / yolof.py import these for their criteria, so the
+    # loss-parity tests need the genuine math, not unavailability guards)
+    def sigmoid_focal_loss(inputs, targets, alpha=-1, gamma=2,
+                           reduction="none"):
+        import torch.nn.functional as F
+
+        p = torch.sigmoid(inputs)
+        ce_loss = F.binary_cross_entropy_with_logits(
+            inputs, targets, reduction="none")
+        p_t = p * targets + (1 - p) * (1 - targets)
+        loss = ce_loss * ((1 - p_t) ** gamma)
+        if alpha >= 0:
+            alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+            loss = alpha_t * loss
+        if reduction == "mean":
+            loss = loss.mean()
+        elif reduction == "sum":
+            loss = loss.sum()
+        return loss
+
+    def giou_loss(boxes1, boxes2, reduction="none", eps=1e-7):
+        x1, y1, x2, y2 = boxes1.unbind(dim=-1)
+        x1g, y1g, x2g, y2g = boxes2.unbind(dim=-1)
+        assert (x2 >= x1).all(), "bad box: x1 larger than x2"
+        assert (y2 >= y1).all(), "bad box: y1 larger than y2"
+        xkis1 = torch.max(x1, x1g)
+        ykis1 = torch.max(y1, y1g)
+        xkis2 = torch.min(x2, x2g)
+        ykis2 = torch.min(y2, y2g)
+        intsctk = torch.zeros_like(x1)
+        mask = (ykis2 > ykis1) & (xkis2 > xkis1)
+        intsctk[mask] = (xkis2[mask] - xkis1[mask]) * (
+            ykis2[mask] - ykis1[mask])
+        unionk = ((x2 - x1) * (y2 - y1)
+                  + (x2g - x1g) * (y2g - y1g) - intsctk)
+        iouk = intsctk / (unionk + eps)
+        xc1 = torch.min(x1, x1g)
+        yc1 = torch.min(y1, y1g)
+        xc2 = torch.max(x2, x2g)
+        yc2 = torch.max(y2, y2g)
+        area_c = (xc2 - xc1) * (yc2 - yc1)
+        miouk = iouk - ((area_c - unionk) / (area_c + eps))
+        loss = 1 - miouk
+        if reduction == "mean":
+            loss = loss.mean() if loss.numel() > 0 else 0.0 * loss.sum()
+        elif reduction == "sum":
+            loss = loss.sum()
+        return loss
+
+    fvnn.sigmoid_focal_loss = sigmoid_focal_loss
+    fvnn.sigmoid_focal_loss_jit = sigmoid_focal_loss
+    fvnn.giou_loss = giou_loss
+    fvnn.smooth_l1_loss = None
+
     # ---- timm (resnetvd/swin/convnext imports) — faithful block stubs
     from _timm_stub import install_timm_stub
 
@@ -131,11 +186,20 @@ def install_stubs() -> None:
     def _box_area(boxes):  # real (trivial) implementation — parity tests
         return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
+    def _box_iou(boxes1, boxes2):  # real pairwise IoU (yolof.py losses)
+        area1 = _box_area(boxes1)
+        area2 = _box_area(boxes2)
+        lt = torch.max(boxes1[:, None, :2], boxes2[None, :, :2])
+        rb = torch.min(boxes1[:, None, 2:], boxes2[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        return inter / (area1[:, None] + area2[None, :] - inter)
+
     for m in (ops, opsb):
         m.nms = _unavailable
         m.batched_nms = _unavailable
         m.box_area = _box_area
-        m.box_iou = _unavailable
+        m.box_iou = _box_iou
     tv.ops = ops
     models = _stub("torchvision.models")
     mutils = _stub("torchvision.models._utils")
@@ -190,7 +254,29 @@ def install_stubs() -> None:
     _log.logging = _logging
     _log.log_first_n = lambda *a, **k: None
     _structs = _stub("detectron2.structures")
-    _structs.Boxes = type("Boxes", (), {})
+
+    class Boxes:
+        """Real minimal d2 Boxes — yolof.py's criterion concatenates and
+        indexes these; only tensor plumbing, no geometry logic."""
+
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+        def __len__(self):
+            return self.tensor.shape[0]
+
+        def __getitem__(self, item):
+            return Boxes(self.tensor[item])
+
+        @classmethod
+        def cat(cls, boxes_list):
+            return cls(torch.cat([b.tensor for b in boxes_list], dim=0))
+
+        @property
+        def device(self):
+            return self.tensor.device
+
+    _structs.Boxes = Boxes
     _structs.ImageList = type("ImageList", (), {})
     _structs.Instances = type("Instances", (), {})
     _structs.BitMasks = type("BitMasks", (), {})
@@ -346,10 +432,37 @@ def install_stubs() -> None:
             return self._map[name]
 
     _stub("detectron2.utils.registry").Registry = _D2Registry
-    _stub("detectron2.modeling.meta_arch")
+    _meta = _stub("detectron2.modeling.meta_arch")
+    _meta.META_ARCH_REGISTRY = _D2Registry("META_ARCH")
     _stub("detectron2.modeling.meta_arch.build").META_ARCH_REGISTRY = (
-        _D2Registry("META_ARCH"))
+        _meta.META_ARCH_REGISTRY)
     _stub("detectron2.layers.shape_spec").ShapeSpec = ShapeSpec
+
+    # ---- import-time-only d2 names used by meta_arch/yolof.py (the loss
+    # parity tests construct YOLOF via __new__ and call matcher/losses only,
+    # so these never execute)
+    def configurable(init_func=None, *, from_config=None):
+        if init_func is not None:
+            return init_func
+        return lambda f: f
+
+    _stub("detectron2.config").configurable = configurable
+    _stub("detectron2.config.config").configurable = configurable
+    _ddu = _stub("detectron2.data")
+    _det_utils = _stub("detectron2.data.detection_utils")
+    _det_utils.convert_image_to_rgb = lambda img, fmt: img
+    _ddu.detection_utils = _det_utils
+    _anchg = _stub("detectron2.modeling.anchor_generator")
+    _anchg.build_anchor_generator = lambda *a, **k: None
+    _postp = _stub("detectron2.modeling.postprocessing")
+    _postp.detector_postprocess = lambda *a, **k: None
+    _events = _stub("detectron2.utils.events")
+    _events.get_event_storage = lambda: None
+
+    def nonzero_tuple(x):  # real minimal impl (d2 layers/wrappers.py)
+        if x.dim() == 0:
+            return x.unsqueeze(0).nonzero().unbind(1)
+        return x.nonzero(as_tuple=True)
 
     layers.ShapeSpec = ShapeSpec
     # solov2_head.py imports these from detectron2.layers; only cat() runs
@@ -358,6 +471,7 @@ def install_stubs() -> None:
     layers.cat = lambda ts, dim=0: _t.cat(ts, dim)
     layers.batched_nms = None  # inference-only, never called in parity
     layers.paste_masks_in_image = None
+    layers.nonzero_tuple = nonzero_tuple
     _anch = _stub("detectron2.modeling.anchor_generator")
     _anch.DefaultAnchorGenerator = type("DefaultAnchorGenerator",
                                         (nn.Module,), {})

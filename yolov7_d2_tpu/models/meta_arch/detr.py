@@ -122,15 +122,29 @@ def detr_match(
     cost_giou: float = 2.0,
     use_focal: bool = False,
 ):
-    """HungarianMatcher (utils/detr_utils.py:12): cost = cls + L1 + gIoU."""
+    """HungarianMatcher (utils/detr_utils.py:12): cost = cls + L1 + gIoU.
+
+    ``use_focal`` selects HungarianMatcherAnchorDETR's focal-style class
+    cost (utils/detr_utils.py:151-159: ``pos_cost - neg_cost`` at the target
+    class, alpha=0.25 gamma=2), NOT plain ``-sigmoid(p)`` — found by the
+    differential loss-parity test.
+    """
     if use_focal:
         prob = jax.nn.sigmoid(pred_logits)
+        p = jnp.take_along_axis(
+            jnp.swapaxes(prob, 1, 2),              # [B, C+1, Q]
+            jnp.clip(gt_classes, 0)[..., None], axis=1
+        )                                           # [B, G, Q]
+        alpha, gamma = 0.25, 2.0
+        pos = alpha * (1.0 - p) ** gamma * (-jnp.log(p + 1e-8))
+        neg = (1.0 - alpha) * p ** gamma * (-jnp.log(1.0 - p + 1e-8))
+        cls_cost = pos - neg
     else:
         prob = jax.nn.softmax(pred_logits, axis=-1)
-    cls_cost = -jnp.take_along_axis(
-        jnp.swapaxes(prob, 1, 2),                  # [B, C+1, Q]
-        jnp.clip(gt_classes, 0)[..., None], axis=1
-    )                                               # [B, G, Q]
+        cls_cost = -jnp.take_along_axis(
+            jnp.swapaxes(prob, 1, 2),              # [B, C+1, Q]
+            jnp.clip(gt_classes, 0)[..., None], axis=1
+        )                                           # [B, G, Q]
     l1 = jnp.sum(
         jnp.abs(gt_boxes_norm[:, :, None, :] - pred_boxes[:, None, :, :]),
         axis=-1,
