@@ -65,7 +65,19 @@ def install_stubs() -> None:
     _stub("alfred.utils.log").logger = _AlfredLogger()
     _stub("alfred.dl")
     _stub("alfred.dl.torch")
-    _stub("alfred.dl.torch.common").print_tensor = lambda *a, **k: None
+    _adc = _stub("alfred.dl.torch.common")
+    _adc.print_tensor = lambda *a, **k: None
+    _adc.device = torch.device("cpu")
+    _stub("alfred.dl.metrics")
+    _aml = _stub("alfred.dl.metrics.iou_loss")
+    _aml.bboxes_iou = None      # import-time only (yolov7.py aliases it)
+    _aml.ciou_loss = None
+    _aml.ciou = None
+    _stub("alfred.vis")
+    _stub("alfred.vis.image")
+    _avd = _stub("alfred.vis.image.det")
+    _avd.visualize_det_cv2_part = lambda *a, **k: None
+    _avd.visualize_det_cv2_fancy = lambda *a, **k: None
 
     # ---- fvcore weight init (real minimal implementations — they only
     # affect init, which parity tests overwrite anyway)
@@ -280,6 +292,10 @@ def install_stubs() -> None:
     _structs.ImageList = type("ImageList", (), {})
     _structs.Instances = type("Instances", (), {})
     _structs.BitMasks = type("BitMasks", (), {})
+    # yolov7.py/yolo.py do `from detectron2.structures import ..., boxes,
+    # image_list` (module objects, import-time only)
+    _structs.boxes = _stub("detectron2.structures.boxes")
+    _structs.image_list = _stub("detectron2.structures.image_list")
 
     @dataclass
     class ShapeSpec:
@@ -510,6 +526,10 @@ def install_stubs() -> None:
     modeling.META_ARCH_REGISTRY = _Registry()
     modeling.RPN_HEAD_REGISTRY = _Registry()
     modeling.Backbone = Backbone
+    # import-time type markers for yolov7.py/yolo.py/yolov5.py
+    modeling.ResNet = type("ResNet", (nn.Module,), {})
+    modeling.ResNetBlockBase = type("ResNetBlockBase", (nn.Module,), {})
+    _stub("detectron2.layers.nms").batched_nms = None
     modeling.ShapeSpec = ShapeSpec  # res2next.py imports it from modeling
     env.TORCH_VERSION = (2, 99)
     comm.get_world_size = lambda: 1

@@ -301,3 +301,323 @@ def test_detr_aux_losses_parity():
         np.testing.assert_allclose(
             float(ours["loss_giou"]), 2.0 * float(ref_losses[f"loss_giou_{i}"]),
             rtol=RTOL, atol=ATOL, err_msg=f"aux{i} loss_giou")
+
+
+# ---------------------------------------------------------------------------
+# YOLOX get_losses (SimOTA inside) — end-to-end loss values
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("use_l1", [False, True])
+def test_yolox_get_losses_parity(use_l1):
+    import torch
+
+    install_stubs()
+    ref_head_mod = ref_module("yolov7.modeling.head.yolox_head")
+    from yolov7_d2_tpu.models.heads.yolox_head import yolox_losses
+
+    rng = np.random.RandomState(5)
+    B, C = 2, 7
+    img = 64
+    level_hw = [(8, 8), (4, 4), (2, 2)]
+    strides_l = [8, 16, 32]
+    A = sum(h * w for h, w in level_hw)
+    gt_counts = (3, 2)
+    Gmax = 4
+
+    # raw head outputs per level (reg 4 | obj 1 | cls C), flattened raster
+    raw = rng.randn(B, A, 5 + C).astype(np.float32) * 0.5
+
+    # grids / strides in our flat layout
+    grids, stride_v, x_shifts, y_shifts, exp_strides = [], [], [], [], []
+    for (h, w), s in zip(level_hw, strides_l):
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        g = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+        grids.append(g)
+        stride_v.append(np.full((h * w,), s, np.float32))
+        x_shifts.append(_t(g[None, :, 0]))
+        y_shifts.append(_t(g[None, :, 1]))
+        exp_strides.append(_t(np.full((1, h * w), s, np.float32)))
+    grids = np.concatenate(grids)
+    stride_v = np.concatenate(stride_v)
+
+    # reference consumes DECODED outputs (get_output_and_grid semantics)
+    decoded = raw.copy()
+    decoded[..., 0:2] = (raw[..., 0:2] + grids) * stride_v[:, None]
+    decoded[..., 2:4] = np.exp(raw[..., 2:4]) * stride_v[:, None]
+
+    labels = np.zeros((B, Gmax, 5), np.float32)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(12, img - 12, size=(g, 2)).astype(np.float32)
+        wh = rng.uniform(8, 30, size=(g, 2)).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        labels[b, :g, 0] = cls
+        labels[b, :g, 1:3] = cxcy
+        labels[b, :g, 3:5] = wh
+        gt_boxes[b, :g, 0:2] = cxcy - wh / 2
+        gt_boxes[b, :g, 2:4] = cxcy + wh / 2
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+
+    head = ref_head_mod.YOLOXHead(
+        num_classes=C, width=0.25, strides=strides_l,
+        in_channels=[64, 128, 256])
+    head.use_l1 = use_l1
+    origin_preds = [
+        _t(raw[:, o:o + h * w, :4].copy())
+        for o, (h, w) in zip(
+            np.cumsum([0] + [h * w for h, w in level_hw[:-1]]), level_hw)
+    ]
+    with torch.no_grad():
+        (ref_total, ref_iou, ref_obj, ref_cls, ref_l1, _fg_ratio) = (
+            head.get_losses(
+                None,
+                x_shifts, y_shifts, exp_strides,
+                _t(labels), _t(decoded), origin_preds,
+                dtype=torch.float32,
+            ))
+
+    ours = yolox_losses(
+        {
+            "outputs": jnp.asarray(raw),
+            "grids": jnp.asarray(grids),
+            "strides": jnp.asarray(stride_v),
+        },
+        jnp.asarray(gt_boxes), jnp.asarray(gt_classes),
+        jnp.asarray(gt_valid),
+        num_classes=C, use_l1=use_l1, prefilter_topk=None,
+    )
+
+    np.testing.assert_allclose(
+        float(ours["loss_iou"]), float(ref_iou), rtol=RTOL, atol=ATOL,
+        err_msg="yolox loss_iou (x5)")
+    np.testing.assert_allclose(
+        float(ours["loss_obj"]), float(ref_obj), rtol=RTOL, atol=ATOL,
+        err_msg="yolox loss_obj")
+    np.testing.assert_allclose(
+        float(ours["loss_cls"]), float(ref_cls), rtol=RTOL, atol=ATOL,
+        err_msg="yolox loss_cls")
+    if use_l1:
+        np.testing.assert_allclose(
+            float(ours["loss_l1"]), float(ref_l1), rtol=RTOL, atol=ATOL,
+            err_msg="yolox loss_l1")
+    np.testing.assert_allclose(
+        float(ours["total_loss"]), float(ref_total),
+        rtol=RTOL, atol=ATOL, err_msg="yolox total")
+
+
+# ---------------------------------------------------------------------------
+# YOLOF criterion + UniformMatcher
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gt_counts", [(3, 2), (2, 0)])
+def test_yolof_criterion_loss_parity(gt_counts):
+    import torch
+    import torch.nn as nn
+
+    install_stubs()
+    yolof_mod = ref_module("yolov7.modeling.meta_arch.yolof")
+    um = ref_module("yolov7.modeling.head.uniform_matcher")
+    br = ref_module("yolov7.modeling.head.box_regression")
+    from detectron2.structures import Boxes
+
+    from yolov7_d2_tpu.models.meta_arch.yolof import (
+        decode_deltas, yolof_anchors, yolof_losses)
+
+    rng = np.random.RandomState(13)
+    B, C = len(gt_counts), 6
+    H = W = 4
+    stride, img = 32, 128
+    anchors_np = yolof_anchors(H, W, stride=stride)          # [A, 4]
+    A = anchors_np.shape[0]
+    Gmax = max(max(gt_counts), 1)
+
+    logits = (rng.randn(B, A, C) * 0.5).astype(np.float32)
+    deltas = (rng.randn(B, A, 4) * 0.3).astype(np.float32)
+
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    targets = []
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(24, img - 24, size=(g, 2))
+        wh = rng.uniform(20, 80, size=(g, 2))
+        boxes = np.concatenate(
+            [cxcy - wh / 2, cxcy + wh / 2], -1).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        gt_boxes[b, :g] = boxes
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+        targets.append(SimpleNamespace(
+            gt_boxes=Boxes(_t(boxes)),
+            gt_classes=_t(cls.astype(np.int64)),
+        ))
+
+    # reference YOLOF: only the attributes its matcher+losses touch
+    ref = object.__new__(yolof_mod.YOLOF)
+    nn.Module.__init__(ref)
+    ref.num_classes = C
+    ref.focal_loss_alpha = 0.25
+    ref.focal_loss_gamma = 2.0
+    ref.neg_ignore_thresh = 0.7
+    ref.pos_ignore_thresh = 0.15
+    ref.box2box_transform = br.YOLOFBox2BoxTransform(
+        weights=(1.0, 1.0, 1.0, 1.0))
+    ref.matcher = um.UniformMatcher(4)
+
+    anchors_t = _t(anchors_np)
+    pred_boxes_t = ref.box2box_transform.apply_deltas(
+        _t(deltas).reshape(-1, 4),
+        anchors_t[None].repeat(B, 1, 1).reshape(-1, 4),
+    ).reshape(B, A, 4)
+    with torch.no_grad():
+        indices = ref.matcher(
+            pred_boxes_t, anchors_t[None].repeat(B, 1, 1), targets)
+        ref_losses = ref.losses(
+            indices, targets,
+            [[Boxes(anchors_t)] for _ in range(B)],
+            [_t(logits)], [_t(deltas)],
+        )
+
+    ours = yolof_losses(
+        {
+            "logits": jnp.asarray(logits),
+            "deltas": jnp.asarray(deltas),
+            "anchors": jnp.asarray(anchors_np),
+        },
+        {
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_classes": jnp.asarray(gt_classes),
+            "gt_valid": jnp.asarray(gt_valid),
+        },
+        num_classes=C,
+    )
+
+    # decode itself is parity-proven in test_torch_parity_stacks; here the
+    # loss values close the loop
+    ours_pred = decode_deltas(jnp.asarray(anchors_np)[None],
+                              jnp.asarray(deltas))
+    np.testing.assert_allclose(
+        np.asarray(ours_pred), pred_boxes_t.numpy(), rtol=1e-4, atol=1e-3)
+
+    np.testing.assert_allclose(
+        float(ours["loss_cls"]), float(ref_losses["loss_cls"]),
+        rtol=RTOL, atol=ATOL, err_msg="yolof loss_cls")
+    np.testing.assert_allclose(
+        float(ours["loss_box"]), float(ref_losses["loss_box_reg"]),
+        rtol=RTOL, atol=ATOL, err_msg="yolof loss_box_reg")
+
+
+# ---------------------------------------------------------------------------
+# YOLOX-KPTS get_losses (kpt OKS + visibility terms)
+# ---------------------------------------------------------------------------
+
+def test_yolox_kpts_get_losses_parity():
+    import torch
+
+    install_stubs()
+    ref_mod = ref_module("yolov7.modeling.head.yolox_kpts_head")
+    from yolov7_d2_tpu.models.meta_arch.yolox_kpts import yolox_kpts_losses
+
+    rng = np.random.RandomState(17)
+    B, C, P = 2, 1, 17
+    img = 64
+    level_hw = [(8, 8), (4, 4), (2, 2)]
+    strides_l = [8, 16, 32]
+    A = sum(h * w for h, w in level_hw)
+    gt_counts = (3, 2)
+    Gmax = 4
+
+    raw = rng.randn(B, A, 5 + C).astype(np.float32) * 0.5
+    raw_kpts = rng.randn(B, A, P, 3).astype(np.float32) * 0.5
+
+    grids, stride_v, x_shifts, y_shifts, exp_strides = [], [], [], [], []
+    for (h, w), s in zip(level_hw, strides_l):
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        g = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+        grids.append(g)
+        stride_v.append(np.full((h * w,), s, np.float32))
+        x_shifts.append(_t(g[None, :, 0]))
+        y_shifts.append(_t(g[None, :, 1]))
+        exp_strides.append(_t(np.full((1, h * w), s, np.float32)))
+    grids = np.concatenate(grids)
+    stride_v = np.concatenate(stride_v)
+
+    # decoded outputs the reference way: boxes + the full kpt slice *stride
+    decoded_main = raw.copy()
+    decoded_main[..., 0:2] = (raw[..., 0:2] + grids) * stride_v[:, None]
+    decoded_main[..., 2:4] = np.exp(raw[..., 2:4]) * stride_v[:, None]
+    dk = raw_kpts.copy()
+    dk[..., 0:2] = dk[..., 0:2] + grids[None, :, None, :]
+    dk = dk * stride_v[None, :, None, None]   # conf channel scaled too
+    decoded = np.concatenate([decoded_main, dk.reshape(B, A, 3 * P)], -1)
+
+    labels = np.zeros((B, Gmax, 5 + 2 * P), np.float32)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    gt_kpts = np.zeros((B, Gmax, P, 3), np.float32)
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(12, img - 12, size=(g, 2)).astype(np.float32)
+        wh = rng.uniform(8, 30, size=(g, 2)).astype(np.float32)
+        labels[b, :g, 0] = 0
+        labels[b, :g, 1:3] = cxcy
+        labels[b, :g, 3:5] = wh
+        gt_boxes[b, :g, 0:2] = cxcy - wh / 2
+        gt_boxes[b, :g, 2:4] = cxcy + wh / 2
+        gt_valid[b, :g] = True
+        kxy = (cxcy[:, None, :]
+               + rng.uniform(-0.5, 0.5, size=(g, P, 2)) * wh[:, None, :])
+        # a few invisible keypoints: the reference's mask proxy is x == 0
+        invis = rng.rand(g, P) < 0.25
+        kxy[invis] = 0.0
+        labels[b, :g, 5:] = kxy.reshape(g, 2 * P)
+        gt_kpts[b, :g, :, 0:2] = kxy
+        gt_kpts[b, :g, :, 2] = (~invis).astype(np.float32)
+
+    head = ref_mod.YOLOXHeadKPTS(
+        num_classes=C, width=0.25, strides=strides_l,
+        in_channels=[64, 128, 256], num_kpts=P)
+    head.use_l1 = False
+    with torch.no_grad():
+        (ref_total, ref_iou, ref_obj, ref_cls, _l1, ref_kpt, ref_kptv,
+         _ratio) = head.get_losses(
+            None, x_shifts, y_shifts, exp_strides,
+            _t(labels), _t(decoded), None, dtype=torch.float32)
+
+    ours = yolox_kpts_losses(
+        {
+            "outputs": jnp.asarray(raw),
+            "kpts": jnp.asarray(raw_kpts),
+            "grids": jnp.asarray(grids),
+            "strides": jnp.asarray(stride_v),
+        },
+        {
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_classes": jnp.asarray(gt_classes),
+            "gt_valid": jnp.asarray(gt_valid),
+            "gt_keypoints": jnp.asarray(gt_kpts),
+        },
+        num_classes=C, num_keypoints=P,
+    )
+
+    np.testing.assert_allclose(
+        float(ours["loss_iou"]), float(ref_iou), rtol=RTOL, atol=ATOL,
+        err_msg="kpts loss_iou")
+    np.testing.assert_allclose(
+        float(ours["loss_obj"]), float(ref_obj), rtol=RTOL, atol=ATOL,
+        err_msg="kpts loss_obj")
+    np.testing.assert_allclose(
+        float(ours["loss_cls"]), float(ref_cls), rtol=RTOL, atol=ATOL,
+        err_msg="kpts loss_cls")
+    np.testing.assert_allclose(
+        float(ours["loss_kpt"]), float(ref_kpt), rtol=RTOL, atol=ATOL,
+        err_msg="kpts loss_kpt (x5)")
+    np.testing.assert_allclose(
+        float(ours["loss_kpt_vis"]), float(ref_kptv), rtol=RTOL, atol=ATOL,
+        err_msg="kpts loss_kpt_vis")
+    np.testing.assert_allclose(
+        float(ours["total_loss"]), float(ref_total), rtol=RTOL, atol=ATOL,
+        err_msg="kpts total")

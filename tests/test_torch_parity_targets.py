@@ -1,0 +1,298 @@
+"""Differential parity for the anchor-YOLO TARGET BUILDERS against the
+reference's own torch implementations (VERDICT round-3 item 1, last clause):
+
+  * ``YOLOHead.get_target`` (max-wh-IoU anchor match + ignore mask)
+      /root/reference/yolov7/modeling/meta_arch/yolov7.py:646-752
+  * ``YOLOV5Head.build_target`` (ultralytics ratio match, center + two
+      neighbor cells, all qualifying anchors)
+      /root/reference/yolov7/modeling/meta_arch/yolov5.py:491-562
+
+The reference heads are constructed via ``object.__new__`` with only the
+attributes the target builders read — their conv stacks never run.
+Scenes use spread-out gts so no two gts claim the same (anchor, cell) slot
+and the assignment is collision-free on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _torchref import install_stubs, ref_module  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+# anchors in input pixels, level 0 = stride 8 (shallow) ... level 2 = 32
+ANCHORS_PX = np.array(
+    [
+        [[10, 13], [16, 30], [33, 23]],
+        [[30, 61], [62, 45], [59, 119]],
+        [[116, 90], [156, 198], [373, 326]],
+    ],
+    np.float32,
+)
+STRIDES = [8, 16, 32]
+IMG = 128
+LEVEL_HW = [(IMG // s, IMG // s) for s in STRIDES]
+NA = 3
+
+
+def _t(x):
+    import torch
+
+    return torch.as_tensor(np.asarray(x))
+
+
+def _scene(rng, B, gt_counts, C):
+    """Spread-out gt boxes (grid-snapped centers ensure no cell collisions);
+    one unique class per gt so identity is recoverable from tcls."""
+    Gmax = max(max(gt_counts), 1)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    for b, g in enumerate(gt_counts):
+        # centers on a coarse lattice, jittered inside one stride-8 cell
+        cells = rng.choice(12, size=(g, 2), replace=False) + 1.5
+        cxcy = cells * 9.0 + rng.uniform(-2, 2, size=(g, 2))
+        wh = np.exp(rng.uniform(np.log(9), np.log(90), size=(g, 2)))
+        gt_boxes[b, :g, 0:2] = np.clip(cxcy - wh / 2, 0, IMG - 2)
+        gt_boxes[b, :g, 2:4] = np.clip(cxcy + wh / 2, 2, IMG - 1)
+        gt_classes[b, :g] = np.arange(g) + b * Gmax
+        gt_valid[b, :g] = True
+    return gt_boxes, gt_classes, gt_valid
+
+
+def _flat_to_level(flat_idx):
+    """Map our flat anchor index -> (level, a, gj, gi)."""
+    offs = []
+    off = 0
+    for h, w in LEVEL_HW:
+        offs.append(off)
+        off += h * w * NA
+    for lvl in reversed(range(len(LEVEL_HW))):
+        if flat_idx >= offs[lvl]:
+            rel = flat_idx - offs[lvl]
+            h, w = LEVEL_HW[lvl]
+            cell, a = divmod(rel, NA)
+            gj, gi = divmod(cell, w)
+            return lvl, a, gj, gi
+    raise AssertionError(flat_idx)
+
+
+def test_v7_get_target_parity():
+    """Max-IoU builder: fg slots, coordinate targets, class one-hots and the
+    prediction-IoU ignore mask all match the reference per level."""
+    import torch
+    import torch.nn as nn
+
+    install_stubs()
+    y7 = ref_module("yolov7.modeling.meta_arch.yolov7")
+    from yolov7_d2_tpu.models.heads.anchor_yolo_head import (
+        build_targets_max_iou)
+    from yolov7_d2_tpu.ops.iou import pairwise_box_iou
+    import jax
+
+    rng = np.random.RandomState(21)
+    B, C = 2, 80
+    gt_counts = (4, 3)
+    gt_boxes, gt_classes, gt_valid = _scene(rng, B, gt_counts, C)
+    Gmax = gt_boxes.shape[1]
+
+    # random decoded pred boxes per level, [B, na, h, w, 4] (cx, cy, w, h px)
+    pred_lvl = []
+    for (h, w), s in zip(LEVEL_HW, STRIDES):
+        cxcy = rng.uniform(0, IMG, size=(B, NA, h, w, 2))
+        wh = np.exp(rng.uniform(np.log(6), np.log(80), size=(B, NA, h, w, 2)))
+        pred_lvl.append(np.concatenate([cxcy, wh], -1).astype(np.float32))
+
+    # reference: one head per level
+    target_t = np.zeros((B, Gmax, 5), np.float32)
+    target_t[..., 0] = gt_classes
+    target_t[..., 1:5] = gt_boxes
+    target_t[~gt_valid] = 0.0
+
+    ref_out = []
+    for lvl, ((h, w), s) in enumerate(zip(LEVEL_HW, STRIDES)):
+        head = object.__new__(y7.YOLOHead)
+        nn.Module.__init__(head)
+        head.level = lvl
+        head.num_anchors = NA
+        head.num_classes = C
+        head.anchors = ANCHORS_PX[lvl]
+        ra = np.zeros((9, 4), np.float32)
+        ra[:, 2:] = ANCHORS_PX.reshape(-1, 2)
+        head.ref_anchors = _t(ra)
+        with torch.no_grad():
+            ref_out.append(head.get_target(
+                _t(target_t), _t(pred_lvl[lvl]), (IMG, IMG),
+                w, h, float(s), float(s), ignore_threshold=0.7,
+            ))
+
+    # ours: flat builder + the loss-side coordinate formulas
+    tgt = jax.vmap(
+        lambda gb, gc, gv: build_targets_max_iou(
+            gb, gc, gv, ANCHORS_PX, LEVEL_HW, STRIDES)
+    )(jnp.asarray(gt_boxes), jnp.asarray(gt_classes), jnp.asarray(gt_valid))
+    fg = np.asarray(tgt["fg_mask"])
+    matched = np.asarray(tgt["matched_gt"])
+
+    # our flat pred boxes in the same layout for the ignore mask
+    flat_pred = []
+    for lvl, (h, w) in enumerate(LEVEL_HW):
+        flat_pred.append(
+            pred_lvl[lvl].transpose(0, 2, 3, 1, 4).reshape(B, h * w * NA, 4))
+    flat_pred = np.concatenate(flat_pred, axis=1)
+    pred_xyxy = np.concatenate(
+        [flat_pred[..., :2] - flat_pred[..., 2:] / 2,
+         flat_pred[..., :2] + flat_pred[..., 2:] / 2], -1)
+    pair = np.asarray(jax.vmap(pairwise_box_iou)(
+        jnp.asarray(pred_xyxy), jnp.asarray(gt_boxes)))
+    pair = pair * gt_valid[:, None, :]
+    ignore = (pair.max(-1) > 0.7) & ~fg
+
+    offs = np.cumsum([0] + [h * w * NA for h, w in LEVEL_HW[:-1]])
+    total_ref_fg = 0
+    for lvl, (h, w) in enumerate(LEVEL_HW):
+        mask, obj_mask, tx, ty, tw, th, tgt_scale, tcls, nlabel, num_fg = (
+            ref_out[lvl])
+        # ours restricted to this level, [B, h*w*na] -> [B, h, w, na]
+        sl = slice(offs[lvl], offs[lvl] + h * w * NA)
+        fg_l = fg[:, sl].reshape(B, h, w, NA).transpose(0, 3, 1, 2)
+        ig_l = ignore[:, sl].reshape(B, h, w, NA).transpose(0, 3, 1, 2)
+        np.testing.assert_array_equal(
+            fg_l, mask.numpy().astype(bool), err_msg=f"fg level {lvl}")
+        np.testing.assert_array_equal(
+            ~ig_l, obj_mask.numpy().astype(bool),
+            err_msg=f"obj_mask level {lvl}")
+        total_ref_fg += int(mask.numpy().sum())
+
+        # coordinate / class targets at fg slots
+        mt = matched[:, sl].reshape(B, h, w, NA).transpose(0, 3, 1, 2)
+        bb, aa, jj, ii = np.nonzero(mask.numpy())
+        for b_, a_, j_, i_ in zip(bb, aa, jj, ii):
+            g = mt[b_, a_, j_, i_]
+            box = gt_boxes[b_, g]
+            cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+            wv, hv = box[2] - box[0], box[3] - box[1]
+            s = STRIDES[lvl]
+            np.testing.assert_allclose(
+                tx.numpy()[b_, a_, j_, i_], cx / s - i_, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                ty.numpy()[b_, a_, j_, i_], cy / s - j_, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                tw.numpy()[b_, a_, j_, i_],
+                np.log(wv / ANCHORS_PX[lvl, a_, 0] + 1e-16),
+                rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                th.numpy()[b_, a_, j_, i_],
+                np.log(hv / ANCHORS_PX[lvl, a_, 1] + 1e-16),
+                rtol=1e-4, atol=1e-5)
+            assert tcls.numpy()[b_, a_, j_, i_, gt_classes[b_, g]] == 1.0
+
+    assert total_ref_fg == int(fg.sum()) == int(gt_valid.sum())
+
+
+def test_v5_build_target_parity():
+    """Ratio builder: the (level, b, a, cell) positive set and per-slot gt
+    identity match the reference's ultralytics-style build_target."""
+    import torch
+    import torch.nn as nn
+
+    install_stubs()
+    y5 = ref_module("yolov7.modeling.meta_arch.yolov5")
+    from yolov7_d2_tpu.models.heads.anchor_yolo_head import (
+        build_targets_ratio)
+    import jax
+
+    rng = np.random.RandomState(33)
+    B, C = 2, 80
+    gt_counts = (5, 3)
+    gt_boxes, gt_classes, gt_valid = _scene(rng, B, gt_counts, C)
+
+    head = object.__new__(y5.YOLOV5Head)
+    nn.Module.__init__(head)
+    head.na = NA
+    head.nl = len(STRIDES)
+    head.anchor_thresh = 4.0
+    head.ref_anchors = _t(
+        ANCHORS_PX / np.asarray(STRIDES, np.float32)[:, None, None])
+
+    # normalized (image, class, x, y, w, h) rows for valid gts only
+    rows = []
+    for b in range(B):
+        for g in range(gt_counts[b]):
+            box = gt_boxes[b, g]
+            rows.append([
+                b, gt_classes[b, g],
+                (box[0] + box[2]) / 2 / IMG, (box[1] + box[3]) / 2 / IMG,
+                (box[2] - box[0]) / IMG, (box[3] - box[1]) / IMG,
+            ])
+    targets_t = _t(np.asarray(rows, np.float32))
+    preds = [torch.zeros(B, NA, h, w, 5 + C) for h, w in LEVEL_HW]
+
+    # torch-2.x compat: the reference clamps LONG indices with FLOAT tensor
+    # bounds (yolov5.py:558, legal on old torch). Shim extracts the scalar —
+    # semantics unchanged.
+    orig_clamp_ = torch.Tensor.clamp_
+
+    def _compat_clamp_(self, min=None, max=None):
+        if isinstance(min, torch.Tensor):
+            min = min.item()
+        if isinstance(max, torch.Tensor):
+            max = max.item()
+        if not torch.is_floating_point(self):
+            # bounds are whole-valued grid extents (gain = shape floats)
+            min = None if min is None else int(min)
+            max = None if max is None else int(max)
+        return orig_clamp_(self, min, max)
+
+    torch.Tensor.clamp_ = _compat_clamp_
+    try:
+        with torch.no_grad():
+            tcls, tbox, indices, anch = head.build_target(preds, targets_t)
+    finally:
+        torch.Tensor.clamp_ = orig_clamp_
+
+    ours = jax.vmap(
+        lambda gb, gc, gv: build_targets_ratio(
+            gb, gc, gv, ANCHORS_PX, LEVEL_HW, STRIDES, ratio_thresh=4.0)
+    )(jnp.asarray(gt_boxes), jnp.asarray(gt_classes), jnp.asarray(gt_valid))
+    fg = np.asarray(ours["fg_mask"])
+    matched = np.asarray(ours["matched_gt"])
+
+    # reference positive multiset {(lvl, b, a, gj, gi) -> {classes}}. Two
+    # gts CAN claim the same slot via neighbor cells; the reference keeps
+    # both occurrences in its loss lists while our dense map keeps one —
+    # so compare the slot SET exactly, the gt identity on uniquely-claimed
+    # slots, and membership on conflicted ones.
+    ref_slots: dict = {}
+    for lvl in range(len(STRIDES)):
+        b_, a_, gj_, gi_ = [x.numpy() for x in indices[lvl]]
+        cls_ = tcls[lvl].numpy()
+        for k in range(len(b_)):
+            key = (lvl, int(b_[k]), int(a_[k]), int(gj_[k]), int(gi_[k]))
+            ref_slots.setdefault(key, set()).add(int(cls_[k]))
+
+    our_slots = {}
+    for b in range(B):
+        for flat in np.nonzero(fg[b])[0]:
+            lvl, a, gj, gi = _flat_to_level(int(flat))
+            our_slots[(lvl, b, a, gj, gi)] = int(
+                gt_classes[b, matched[b, flat]])
+
+    assert set(our_slots) == set(ref_slots)
+    n_unique = 0
+    for key, classes in ref_slots.items():
+        if len(classes) == 1:
+            assert our_slots[key] in classes, key
+            n_unique += 1
+        else:
+            assert our_slots[key] in classes, key
+    assert n_unique >= int(gt_valid.sum())  # bulk of slots unambiguous
+    assert len(ref_slots) >= int(gt_valid.sum())  # neighbors add positives

@@ -165,38 +165,68 @@ def uniform_match(
     gt_boxes: jnp.ndarray,     # [G, 4]
     gt_valid: jnp.ndarray,     # [G]
     match_topk: int = 4,
+    num_classes: int = 80,
+    neg_ignore_thresh: float = 0.7,
+    pos_ignore_thresh: float = 0.15,
 ) -> Dict[str, jnp.ndarray]:
-    """UniformMatcher: each gt takes its top-k anchors by L1 distance of both
-    predicted boxes and anchor boxes (k each), filtered by IoU quality."""
-    g_cxcy = xyxy_to_cxcywh(gt_boxes)[:, :2]
-    p_cxcy = xyxy_to_cxcywh(pred_boxes)[:, :2]
-    a_cxcy = xyxy_to_cxcywh(anchors)[:, :2]
-    cost_p = jnp.sum(jnp.abs(g_cxcy[:, None] - p_cxcy[None]), -1)   # [G, A]
-    cost_a = jnp.sum(jnp.abs(g_cxcy[:, None] - a_cxcy[None]), -1)
+    """UniformMatcher + the criterion's index bookkeeping, per image.
+
+    Reference semantics (head/uniform_matcher.py:13 + meta_arch/
+    yolof.py:326-431), restated occurrence-wise for static shapes:
+
+    * each gt claims its top-k anchors by L1 distance in cxcywh (all 4
+      coords) of BOTH predicted boxes and anchor boxes -> 2k occurrences
+      per gt, ordered rank-major then (pred block | anchor block) then gt
+      (the reference's hstack order, uniform_matcher.py:96-112);
+    * an occurrence is pos-ignored when the ANCHOR-gt IoU < 0.15
+      (yolof.py:369 ``a_iou[src_idx, tgt_idx]``);
+    * the per-anchor class map starts at background, anchors whose
+      PREDICTED box overlaps any gt > 0.7 become ignore (-1), then
+      occurrence writes land in order (later occurrence wins), writing
+      -1 for pos-ignored occurrences and the gt class otherwise;
+    * box regression is per-OCCURRENCE (duplicates contribute twice),
+      on non-pos-ignored occurrences.
+    """
     A = anchors.shape[0]
     G = gt_boxes.shape[0]
+    k = match_topk
+    g_c = xyxy_to_cxcywh(gt_boxes)
+    p_c = xyxy_to_cxcywh(pred_boxes)
+    a_c = xyxy_to_cxcywh(anchors)
+    cost_p = jnp.sum(jnp.abs(g_c[:, None] - p_c[None]), -1)        # [G, A]
+    cost_a = jnp.sum(jnp.abs(g_c[:, None] - a_c[None]), -1)
 
-    fg = jnp.zeros((A,), bool)
-    matched = jnp.zeros((A,), jnp.int32)
-    for cost in (cost_p, cost_a):
-        _, idx = jax.lax.top_k(-cost, match_topk)                   # [G, k]
-        flat = jnp.where(gt_valid[:, None], idx, A).reshape(-1)
-        gt_ids = jnp.broadcast_to(
-            jnp.arange(G, dtype=jnp.int32)[:, None], (G, match_topk)
-        ).reshape(-1)
-        fg = fg.at[flat].set(True, mode="drop")
-        matched = matched.at[flat].set(gt_ids, mode="drop")
+    _, idx_p = jax.lax.top_k(-cost_p, k)                            # [G, k]
+    _, idx_a = jax.lax.top_k(-cost_a, k)
+    # occurrence layout [k, 2, G] -> flat [2kG] in the reference's order
+    occ_anchor = jnp.stack(
+        [idx_p.T, idx_a.T], axis=1
+    ).reshape(-1)                                                   # [2kG]
+    occ_gt = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[None, None, :], (k, 2, G)
+    ).reshape(-1)
+    occ_valid = gt_valid[occ_gt]
 
-    # quality filters (reference): pred-gt IoU < 0.15 for matched -> drop;
-    # anchors with IoU > 0.7 to any gt are ignored in cls loss if negative
     iou_p = pairwise_box_iou(gt_boxes, pred_boxes)                  # [G, A]
     iou_p = jnp.where(gt_valid[:, None], iou_p, 0.0)
-    matched_iou = jnp.take_along_axis(iou_p, matched[None], axis=0)[0]
-    fg = fg & (matched_iou >= 0.15)
-    iou_a = pairwise_box_iou(gt_boxes, anchors)
-    iou_a = jnp.where(gt_valid[:, None], iou_a, 0.0)
-    ignore = (jnp.max(iou_p, axis=0) > 0.7) & ~fg
-    return {"fg_mask": fg, "matched_gt": matched, "ignore": ignore}
+    iou_a = pairwise_box_iou(gt_boxes, anchors)                     # [G, A]
+    occ_pos_ignore = iou_a[occ_gt, occ_anchor] < pos_ignore_thresh
+
+    # per-anchor class map with last-write-wins occurrence scatter
+    base = jnp.full((A,), num_classes, jnp.int32)
+    base = jnp.where(jnp.max(iou_p, axis=0) > neg_ignore_thresh, -1, base)
+    occ_rank = jnp.arange(occ_anchor.shape[0], dtype=jnp.int32)
+    slot = jnp.where(occ_valid, occ_anchor, A)
+    last_rank = jnp.full((A + 1,), -1, jnp.int32).at[slot].max(occ_rank)
+    winner = occ_valid & (occ_rank == last_rank[jnp.clip(slot, 0, A)])
+    return {
+        "occ_anchor": occ_anchor,
+        "occ_gt": occ_gt,
+        "occ_valid": occ_valid,
+        "occ_pos_ignore": occ_pos_ignore,
+        "winner": winner,
+        "base_cls": base,
+    }
 
 
 def yolof_losses(
@@ -204,24 +234,49 @@ def yolof_losses(
     batch: Dict[str, jnp.ndarray],
     num_classes: int,
 ) -> Dict[str, jnp.ndarray]:
+    """YOLOF criterion (meta_arch/yolof.py:326-431) on static shapes."""
     logits, deltas, anchors = out["logits"], out["deltas"], out["anchors"]
     pred_boxes = decode_deltas(anchors[None], deltas)               # [B, A, 4]
+    A = anchors.shape[0]
     m = jax.vmap(
-        lambda pb, gb, gv: uniform_match(pb, anchors, gb, gv)
+        lambda pb, gb, gv: uniform_match(
+            pb, anchors, gb, gv, num_classes=num_classes)
     )(jax.lax.stop_gradient(pred_boxes), batch["gt_boxes"], batch["gt_valid"])
-    fg, matched, ignore = m["fg_mask"], m["matched_gt"], m["ignore"]
-    fg_f = fg.astype(jnp.float32)
-    num_fg = jnp.maximum(jnp.sum(fg_f), 1.0)
-    tgt_boxes = jnp.take_along_axis(batch["gt_boxes"], matched[..., None], 1)
-    tgt_classes = jnp.take_along_axis(batch["gt_classes"], matched, 1)
-    cls_t = jax.nn.one_hot(tgt_classes, num_classes) * fg_f[..., None]
-    weight = jnp.where(ignore, 0.0, 1.0)[..., None]
+
+    gt_classes = batch["gt_classes"].astype(jnp.int32)
+    occ_cls = jnp.where(
+        m["occ_pos_ignore"], -1,
+        jnp.take_along_axis(gt_classes, m["occ_gt"], axis=1),
+    )                                                               # [B, 2kG]
+    slot = jnp.where(m["winner"], m["occ_anchor"], A)
+    cls_map = jax.vmap(
+        lambda base, s, c: base.at[s].set(c, mode="drop")
+    )(m["base_cls"], slot, occ_cls)                                 # [B, A]
+
+    fg = (cls_map >= 0) & (cls_map != num_classes)
+    valid = cls_map >= 0
+    num_fg = jnp.maximum(jnp.sum(fg.astype(jnp.float32)), 1.0)
+
+    cls_t = jax.nn.one_hot(
+        jnp.where(fg, cls_map, num_classes), num_classes
+    ) * fg[..., None]
     loss_cls = jnp.sum(
-        sigmoid_focal_loss(logits, cls_t) * weight
+        sigmoid_focal_loss(logits, cls_t) * valid[..., None]
     ) / num_fg
+
+    # per-occurrence giou on non-pos-ignored occurrences (duplicates kept,
+    # reference yolof.py:415-421)
+    occ_pred = jnp.take_along_axis(
+        pred_boxes, m["occ_anchor"][..., None], axis=1
+    )                                                               # [B,2kG,4]
+    occ_tgt = jnp.take_along_axis(
+        batch["gt_boxes"], m["occ_gt"][..., None], axis=1
+    )
+    occ_ok = (m["occ_valid"] & ~m["occ_pos_ignore"]).astype(jnp.float32)
     loss_box = jnp.sum(
-        iou_loss(pred_boxes, tgt_boxes, loss_type="giou") * fg_f
+        iou_loss(occ_pred, occ_tgt, loss_type="giou") * occ_ok
     ) / num_fg
+
     losses = {
         "loss_cls": loss_cls,
         "loss_box": loss_box,

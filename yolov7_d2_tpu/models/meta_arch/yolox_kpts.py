@@ -108,10 +108,15 @@ class YOLOXKptsHead(nn.Module):
 def decode_kpts(
     kpts_raw: jnp.ndarray, grids: jnp.ndarray, strides: jnp.ndarray
 ) -> jnp.ndarray:
-    """Keypoints decode (reference yolox_kpts_head.py:282,305):
-    xy = (raw*2 + grid)*stride, vis = logit."""
-    xy = (kpts_raw[..., 0:2] * 2.0 + grids[:, None, :]) * strides[:, None, None]
-    return jnp.concatenate([xy, kpts_raw[..., 2:3]], axis=-1)
+    """Keypoints decode (reference yolox_kpts_head.py:282):
+    xy = (raw + grid) * stride. The reference multiplies the WHOLE kpt
+    slice by stride, so the per-kpt confidence logit is scaled by stride
+    too (``output[..., 6:] = (output[..., 6:] + kpt_grids) * stride``) —
+    replicated here because the training loss consumes the scaled logit
+    (kpts_loss:727-741 reads the decoded tensor)."""
+    xy = (kpts_raw[..., 0:2] + grids[:, None, :]) * strides[:, None, None]
+    conf = kpts_raw[..., 2:3] * strides[:, None, None]
+    return jnp.concatenate([xy, conf], axis=-1)
 
 
 class YOLOXKPTS(nn.Module):
@@ -197,33 +202,46 @@ def yolox_kpts_losses(
         sigmoid_binary_cross_entropy(cls_logits, cls_t) * fg_f[..., None]
     ) / num_fg
 
-    # keypoints: gt [B, G, P, 3] -> matched per anchor [B, A, P, 3]
+    # keypoints (reference kpts_loss, yolox_kpts_head.py:725-741):
+    # gt [B, G, P, 3] -> matched per anchor [B, A, P, 3]
     gt_kpts = batch["gt_keypoints"]
     tgt_kpts = jnp.take_along_axis(
         gt_kpts, matched[..., None, None], axis=1
     )
-    vis = (tgt_kpts[..., 2] > 0).astype(jnp.float32)       # [B, A, P]
-    area = jax.lax.stop_gradient(
+    # the reference's visibility proxy is target-x != 0 (labels carry only
+    # x, y per kpt; :731 ``kpt_mask = (kpts_targets[:, 0::2] != 0)``)
+    kpt_mask = (tgt_kpts[..., 0] != 0).astype(jnp.float32)  # [B, A, P]
+    # bbox_scale = w*h of the matched gt (:735 prod of the last two coords
+    # of the (cx, cy, w, h) reg target)
+    bbox_scale = jax.lax.stop_gradient(
         (tgt_boxes[..., 2] - tgt_boxes[..., 0])
         * (tgt_boxes[..., 3] - tgt_boxes[..., 1])
-    )[..., None] + 1e-6
+    )[..., None]
     sigmas = jnp.asarray(COCO_KPT_SIGMAS[:num_keypoints])
     d2 = jnp.sum((kpts[..., 0:2] - tgt_kpts[..., 0:2]) ** 2, axis=-1)
-    oks_exp = jnp.exp(-d2 / (2.0 * area * sigmas[None, None, :] ** 2))
-    nvis = jnp.maximum(jnp.sum(vis, axis=-1), 1.0)          # [B, A]
-    loss_kpt = jnp.sum(
-        (jnp.sum((1.0 - oks_exp) * vis, axis=-1) / nvis) * fg_f
-    ) / num_fg
+    # OKS denominator is bbox_scale * (4 * sigma), sigma NOT squared (:737)
+    oks = jnp.exp(-d2 / (bbox_scale * (4.0 * sigmas[None, None, :]) + 1e-9))
+    # kpt_loss_factor: total mask entries over visible entries, computed on
+    # the fg-gathered batch (:736)
+    n_entries = jnp.sum(fg_f) * num_keypoints
+    n_vis = jnp.maximum(jnp.sum(kpt_mask * fg_f[..., None]), 1.0)
+    kpt_loss_factor = n_entries / n_vis
+    lkpt = kpt_loss_factor * jnp.mean(
+        (1.0 - oks ** 2) * kpt_mask, axis=-1
+    )                                                       # [B, A]
+    loss_kpt = jnp.sum(lkpt * fg_f) / num_fg
+    # visibility BCE against the x!=0 mask, per-anchor MEAN over P (:732)
     loss_kpt_vis = jnp.sum(
-        sigmoid_binary_cross_entropy(kpts[..., 2], vis)
-        * fg_f[..., None]
+        jnp.mean(sigmoid_binary_cross_entropy(kpts[..., 2], kpt_mask), -1)
+        * fg_f
     ) / num_fg
 
     losses = {
         "loss_iou": 5.0 * loss_iou,
         "loss_obj": loss_obj,
         "loss_cls": loss_cls,
-        "loss_kpt": 10.0 * loss_kpt,
+        # reg_weight (5.0) also scales the kpt OKS term (:486)
+        "loss_kpt": 5.0 * loss_kpt,
         "loss_kpt_vis": loss_kpt_vis,
         "num_fg": num_fg,
     }
