@@ -60,7 +60,9 @@ def install_stubs() -> None:
         def __getattr__(self, k):
             return lambda *a, **kw: None
 
-    _stub("alfred").logger = _AlfredLogger()
+    _alfred = _stub("alfred")
+    _alfred.logger = _AlfredLogger()
+    _alfred.print_shape = lambda *a, **k: None
     _stub("alfred.utils")
     _stub("alfred.utils.log").logger = _AlfredLogger()
     _stub("alfred.dl")
@@ -288,10 +290,58 @@ def install_stubs() -> None:
         def device(self):
             return self.tensor.device
 
+        def scale(self, scale_x, scale_y):  # real minimal (d2 boxes.py)
+            self.tensor[:, 0::2] *= scale_x
+            self.tensor[:, 1::2] *= scale_y
+
+    class Instances:
+        """Real minimal d2 Instances: attribute bag + image_size — the
+        meta-arch eval paths build these as their final results."""
+
+        def __init__(self, image_size, **fields):
+            self._image_size = image_size
+            self._fields = {}
+            for k, v in fields.items():
+                setattr(self, k, v)
+
+        @property
+        def image_size(self):
+            return self._image_size
+
+        def __setattr__(self, name, val):
+            if name.startswith("_"):
+                super().__setattr__(name, val)
+            else:
+                self._fields[name] = val
+
+        def __getattr__(self, name):
+            if name.startswith("_") or name not in self.__dict__.get(
+                    "_fields", {}):
+                raise AttributeError(name)
+            return self._fields[name]
+
+        def has(self, name):
+            return name in self._fields
+
+        def __len__(self):
+            for v in self._fields.values():
+                return len(v)
+            return 0
+
+    class BitMasks:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+        def to(self, device):
+            return self
+
+        def __len__(self):
+            return self.tensor.shape[0]
+
     _structs.Boxes = Boxes
     _structs.ImageList = type("ImageList", (), {})
-    _structs.Instances = type("Instances", (), {})
-    _structs.BitMasks = type("BitMasks", (), {})
+    _structs.Instances = Instances
+    _structs.BitMasks = BitMasks
     # yolov7.py/yolo.py do `from detectron2.structures import ..., boxes,
     # image_list` (module objects, import-time only)
     _structs.boxes = _stub("detectron2.structures.boxes")
@@ -526,6 +576,9 @@ def install_stubs() -> None:
     modeling.META_ARCH_REGISTRY = _Registry()
     modeling.RPN_HEAD_REGISTRY = _Registry()
     modeling.Backbone = Backbone
+    modeling.build_backbone = lambda *a, **k: None  # import-time only
+    modeling.detector_postprocess = lambda *a, **k: None
+    _structs.PolygonMasks = type("PolygonMasks", (), {})
     # import-time type markers for yolov7.py/yolo.py/yolov5.py
     modeling.ResNet = type("ResNet", (nn.Module,), {})
     modeling.ResNetBlockBase = type("ResNetBlockBase", (nn.Module,), {})
