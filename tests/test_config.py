@@ -73,3 +73,22 @@ def test_lazy_call_instantiate():
     node = LazyCall(Dummy)(a=1, b=LazyCall(dict)(x=2))
     obj = instantiate(node)
     assert obj.a == 1 and obj.b == {"x": 2}
+
+
+def test_pickle_roundtrip_preserves_values_and_freeze():
+    """Spawn dataloader workers unpickle their cfg (mp_loader MapperFactory);
+    dict-subclass default unpickling bypassed __init__ and broke on
+    __frozen__."""
+    import pickle
+
+    from yolov7_d2_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.YOLO.CLASSES = 17
+    cfg.freeze()
+    cfg2 = pickle.loads(pickle.dumps(cfg))
+    assert cfg2.MODEL.YOLO.CLASSES == 17
+    assert cfg2.is_frozen() and cfg2.MODEL.is_frozen()
+    cfg3 = pickle.loads(pickle.dumps(get_cfg()))
+    assert not cfg3.is_frozen()
+    cfg3.MODEL.YOLO.CLASSES = 3  # writable after round-trip

@@ -75,12 +75,9 @@ def main():
 
     records = load_coco_json(ann, imroot)
 
-    def mapper_factory(worker_id: int):
-        from yolov7_d2_tpu.data.mappers import YOLOXDatasetMapper
+    from yolov7_d2_tpu.data.mappers import MapperFactory, YOLOXDatasetMapper
 
-        wcfg = cfg.clone()
-        wcfg.defrost()
-        return YOLOXDatasetMapper(wcfg, is_train=True, seed=worker_id)
+    mapper_factory = MapperFactory(YOLOXDatasetMapper, cfg)
 
     # ---- loader-alone rate (no chip)
     loader = MultiProcessDataLoader(

@@ -125,13 +125,30 @@ def main(args) -> None:
     checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "ckpt"))
     state, start_iter = checkpointer.resume_or_load(state, resume=args.resume)
 
-    mapper = YOLOXDatasetMapper(cfg, is_train=True, seed=jax.process_index())
+    device_aug = bool(cfg.INPUT.MOSAIC_AND_MIXUP.DEVICE)
+    if device_aug:
+        # host does decode+resize only; mosaic/mixup/HSV run fused in the
+        # jitted train step (data/device_aug.py)
+        from yolov7_d2_tpu.data.device_aug import make_device_aug_step
+        from yolov7_d2_tpu.data.mappers import TileDatasetMapper
+
+        mapper = TileDatasetMapper(cfg, is_train=True, seed=jax.process_index())
+        train_step = make_device_aug_step(cfg, train_step)
+    else:
+        mapper = YOLOXDatasetMapper(
+            cfg, is_train=True, seed=jax.process_index()
+        )
     loader = build_detection_train_loader(cfg, records, mapper)
 
     mesh = build_mesh(cfg.TPU.MESH_SHAPE, cfg.TPU.MESH_AXES)
     hooks = [
         IterationTimer(),
-        AugDisableHook(mapper, cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER),
+    ]
+    if not device_aug:  # on-device path disables via lax.cond on the step
+        hooks.append(
+            AugDisableHook(mapper, cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER)
+        )
+    hooks += [
         PeriodicCheckpointer(checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD),
         PeriodicWriter(
             Trainer.default_writers(cfg.OUTPUT_DIR, cfg.SOLVER.MAX_ITER)
@@ -146,6 +163,10 @@ def main(args) -> None:
         train_step, state, loader, cfg.SOLVER.MAX_ITER,
         mesh=mesh, hooks=hooks, start_iter=start_iter,
         output_dir=cfg.OUTPUT_DIR,
+        batch_fields=(
+            ("image", "gt_boxes", "gt_classes", "gt_valid", "orig_hw")
+            if device_aug else None
+        ),
     )
     if args.eval_only:
         results = build_eval_fn(cfg, eval_records, model)(trainer)

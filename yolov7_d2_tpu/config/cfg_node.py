@@ -92,6 +92,12 @@ class CfgNode(dict):
                 raise KeyError(f"Non-existent config key: {key}")
             node[leaf] = _coerce(value, node[leaf])
 
+    # -- pickling (spawn dataloader workers ship their cfg) -----------------
+    def __reduce__(self):
+        # dict-subclass default unpickling calls __setitem__ before __init__
+        # has set __frozen__; rebuild through the constructor instead
+        return (_unpickle_cfg, (self.to_dict(), self.is_frozen()))
+
     # -- misc ---------------------------------------------------------------
     def clone(self) -> "CfgNode":
         return CfgNode(self.to_dict())
@@ -116,6 +122,13 @@ class CfgNode(dict):
 
 def _is_plain_dict(v: Any) -> bool:
     return isinstance(v, dict) and not isinstance(v, CfgNode)
+
+
+def _unpickle_cfg(plain: Dict[str, Any], frozen: bool) -> "CfgNode":
+    node = CfgNode(plain)
+    if frozen:
+        node.freeze()
+    return node
 
 
 def _coerce(value: Any, old: Any) -> Any:

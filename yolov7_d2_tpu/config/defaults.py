@@ -353,6 +353,9 @@ def get_cfg() -> CfgNode:
 
     _C.INPUT.MOSAIC_AND_MIXUP = CfgNode()
     _C.INPUT.MOSAIC_AND_MIXUP.ENABLED = False
+    # run mosaic/mixup/HSV/flip ON DEVICE inside the jitted train step
+    # (data/device_aug.py); host workers then only decode + resize tiles
+    _C.INPUT.MOSAIC_AND_MIXUP.DEVICE = False
     _C.INPUT.MOSAIC_AND_MIXUP.DEBUG_VIS = False
     _C.INPUT.MOSAIC_AND_MIXUP.POOL_CAPACITY = 1000
     _C.INPUT.MOSAIC_AND_MIXUP.NUM_IMAGES = 4

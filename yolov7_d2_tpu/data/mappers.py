@@ -470,6 +470,52 @@ class DetrDatasetMapper(SimpleDatasetMapper):
         return self._finalize(record, img, boxes, classes, None, None, pre_scale)
 
 
+class TileDatasetMapper:
+    """Minimal host work for the DEVICE aug path (data/device_aug.py):
+    decode + one aspect-preserving resize to fit ``INPUT_SIZE`` + gray pad,
+    labels densified — no mosaic/warp/HSV on the host (those run fused on
+    device). Emits **uint8** images (4x less host->device traffic than the
+    float32 mappers) plus ``orig_hw`` so the device pass can reconstruct
+    the mosaic-canvas scale of the reference's mosaic4
+    (dataset_mapper.py:523-597)."""
+
+    def __init__(self, cfg, is_train: bool = True, seed: int = 0):
+        self.input_size = tuple(cfg.INPUT.INPUT_SIZE)
+        self.max_boxes = cfg.MODEL.YOLO.MAX_BOXES_NUM
+        self.pad_value = int(cfg.MODEL.PADDED_VALUE)
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, record: dict) -> Dict[str, np.ndarray]:
+        img = read_image_bgr(record["file_name"])
+        h0, w0 = img.shape[:2]
+        boxes, classes = annotations_to_arrays(record)
+        img, boxes, _ = _letterbox_fast(
+            img, boxes, self.input_size, self.pad_value
+        )
+        sample = densify(boxes, classes, self.max_boxes)
+        sample["image"] = np.ascontiguousarray(img, np.uint8)
+        sample["orig_hw"] = np.asarray([h0, w0], np.float32)
+        sample["image_id"] = np.asarray(record.get("image_id", 0), np.int64)
+        return sample
+
+
+class MapperFactory:
+    """Picklable ``mapper_factory(worker_id)`` for spawn-based loaders
+    (mp_loader workers re-import and unpickle their factory; a local
+    closure over cfg cannot cross the spawn boundary)."""
+
+    def __init__(self, mapper_cls, cfg, is_train: bool = True, **kw):
+        self.mapper_cls = mapper_cls
+        self.cfg = cfg.clone()
+        self.is_train = is_train
+        self.kw = kw
+
+    def __call__(self, worker_id: int):
+        return self.mapper_cls(
+            self.cfg, is_train=self.is_train, seed=worker_id, **self.kw
+        )
+
+
 # Reference-name aliases
 MyDatasetMapper = DarknetMosaicDatasetMapper
 MyDatasetMapper2 = YOLOXDatasetMapper
