@@ -1,0 +1,153 @@
+"""Pre-augmented packed-shard cache (offline mosaic) + mmap loader.
+
+The weak-host fallback of SURVEY §7 (VERDICT r3 item 8): when the host
+cannot run the mosaic/mixup mappers at chip rate (this container's single
+core sustains ~10-20 img/s of ``YOLOXDatasetMapper``; the chip consumes
+714 img/s @bs128), the augmentation is run OFFLINE — any number of
+epochs, any machine — into fixed-shape shards, and the training-time
+loader is reduced to ``np.load`` + index + stack, which a single core
+sustains at hundreds of img/s.
+
+The reference has no analogue (its answer is "more dataloader workers",
+dataset_mapper.py:339-597 run per-worker); this is the TPU-native
+feed-the-chip answer for hosts where that arithmetic fails.
+
+Shard format: ``<dir>/shard_NNNNN.npz`` with image [N,H,W,3] uint8 (host
+mappers emit float 0..255; rounding to uint8 loses <0.5 LSB of the 0.5/0.5
+mixup blends), gt_boxes [N,M,4] f32, gt_classes [N,M] i32, gt_valid [N,M]
+bool, plus any extra fields the mapper emitted (gt_masks packed as uint8).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+_CORE = ("gt_boxes", "gt_classes", "gt_valid")
+
+
+def write_packed_shards(
+    records: List[dict],
+    mapper: Callable[[dict], Dict[str, np.ndarray]],
+    out_dir: str,
+    epochs: int = 1,
+    shard_size: int = 512,
+    seed: int = 0,
+    fields: Optional[List[str]] = None,
+) -> int:
+    """Run ``mapper`` over ``records`` for ``epochs`` stochastic passes and
+    write fixed-shape shards. Returns the number of samples written."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    buf: List[Dict[str, np.ndarray]] = []
+    n_shard = 0
+    n_total = 0
+
+    def flush():
+        nonlocal n_shard
+        if not buf:
+            return
+        keys = fields or [
+            k for k in buf[0]
+            if k == "image" or k in _CORE or k.startswith("gt_")
+        ]
+        out = {}
+        for k in keys:
+            stacked = np.stack([s[k] for s in buf])
+            if k == "image" or k == "gt_masks":
+                stacked = np.clip(np.round(stacked), 0, 255).astype(np.uint8)
+            out[k] = stacked
+        np.savez(os.path.join(out_dir, f"shard_{n_shard:05d}.npz"), **out)
+        n_shard += 1
+        buf.clear()
+
+    for _ in range(epochs):
+        order = rng.permutation(len(records))
+        for i in order:
+            sample = mapper(records[int(i)])
+            buf.append(sample)
+            n_total += 1
+            if len(buf) >= shard_size:
+                flush()
+    flush()
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"num_samples": n_total, "num_shards": n_shard}, f)
+    return n_total
+
+
+class PackedShardLoader:
+    """Batched loader over packed shards: shard-level shuffle + in-shard
+    permutation per epoch, zero augmentation work at train time. Yields
+    dicts with image float32 (the mappers' output dtype) and the gt_*
+    fields as stored."""
+
+    def __init__(
+        self,
+        shard_dir: str,
+        batch_size: int,
+        shuffle: bool = True,
+        infinite: bool = True,
+        seed: int = 0,
+        image_dtype=np.float32,
+    ):
+        self.paths = sorted(glob.glob(os.path.join(shard_dir, "shard_*.npz")))
+        if not self.paths:
+            raise FileNotFoundError(f"no shards under {shard_dir}")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.infinite = infinite
+        self.rng = np.random.default_rng(seed)
+        self.image_dtype = image_dtype
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        carry: Optional[Dict[str, np.ndarray]] = None
+        while True:
+            order = (
+                self.rng.permutation(len(self.paths))
+                if self.shuffle
+                else np.arange(len(self.paths))
+            )
+            for si in order:
+                with np.load(self.paths[int(si)]) as z:
+                    shard = {k: z[k] for k in z.files}
+                n = len(shard["image"])
+                idx = self.rng.permutation(n) if self.shuffle else np.arange(n)
+                start = 0
+                if carry is not None:
+                    need = self.batch_size - len(carry["image"])
+                    take = idx[:need]
+                    carry = {
+                        k: np.concatenate([carry[k], shard[k][take]])
+                        for k in shard
+                    }
+                    start = need
+                    if len(carry["image"]) == self.batch_size:
+                        yield self._cast(carry)
+                        carry = None
+                    else:
+                        continue
+                for b0 in range(start, n - self.batch_size + 1,
+                                self.batch_size):
+                    take = idx[b0 : b0 + self.batch_size]
+                    yield self._cast({k: shard[k][take] for k in shard})
+                rem = (n - start) % self.batch_size
+                if rem:
+                    take = idx[n - rem :]
+                    carry = {k: shard[k][take] for k in shard}
+            if not self.infinite:
+                if carry is not None and len(carry["image"]):
+                    yield self._cast(carry)
+                return
+
+    def _cast(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = dict(batch)
+        out["image"] = np.ascontiguousarray(
+            batch["image"], self.image_dtype
+        )
+        if "gt_masks" in out:
+            out["gt_masks"] = out["gt_masks"].astype(np.float32)
+        return out
