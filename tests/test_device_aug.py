@@ -403,3 +403,130 @@ class TestDeviceAugEndToEnd:
         state, m1 = step(state, t)  # step 1: passthrough branch
         assert np.isfinite(float(m0["total_loss"]))
         assert np.isfinite(float(m1["total_loss"]))
+
+
+class TestDevicePhotometric:
+    """Elementwise device aug over packed (pre-augmented) batches: mixup
+    blend + HSV + flip. Geometry stays offline (docs/PERF.md round 4:
+    the gather-based device geometry measured ~100x off roofline)."""
+
+    @pytest.fixture()
+    def cfg(self):
+        from yolov7_d2_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.INPUT.INPUT_SIZE = [S, S]
+        cfg.INPUT.MOSAIC_AND_MIXUP.ENABLED = True
+        cfg.INPUT.MOSAIC_AND_MIXUP.ENABLE_MIXUP = True
+        cfg.INPUT.DISTORTION.ENABLED = True
+        cfg.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED = True
+        cfg.MODEL.YOLO.MAX_BOXES_NUM = 16
+        cfg.freeze()
+        return cfg
+
+    def _batch(self, b=8, m=16):
+        rng = np.random.default_rng(7)
+        xy = rng.uniform(2, S - 14, (b, m, 2))
+        return {
+            "image": jnp.asarray(rng.integers(0, 255, (b, S, S, 3), np.uint8)),
+            "gt_boxes": jnp.asarray(
+                np.concatenate([xy, xy + rng.uniform(4, 12, (b, m, 2))], -1)
+                .astype(np.float32)
+            ),
+            "gt_classes": jnp.asarray(rng.integers(0, 80, (b, m), np.int32)),
+            "gt_valid": jnp.asarray(rng.random((b, m)) < 0.5),
+        }
+
+    def test_shapes_and_finiteness(self, cfg):
+        aug = D.DevicePhotometric(cfg)
+        out = jax.jit(aug)(jax.random.PRNGKey(0), self._batch())
+        assert out["image"].shape == (8, S, S, 3)
+        assert out["image"].dtype == jnp.float32
+        assert out["gt_boxes"].shape == (8, 16, 4)
+        img = np.asarray(out["image"])
+        assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 255
+
+    def test_flip_only_is_exact_mirror(self, cfg):
+        cfg2 = cfg.clone()
+        cfg2.defrost()
+        cfg2.INPUT.MOSAIC_AND_MIXUP.ENABLE_MIXUP = False
+        cfg2.INPUT.DISTORTION.ENABLED = False
+        cfg2.INPUT.RANDOM_FLIP_HORIZONTAL.PROB = 1.0
+        cfg2.freeze()
+        aug = D.DevicePhotometric(cfg2)
+        b = self._batch()
+        out = jax.jit(aug)(jax.random.PRNGKey(0), b)
+        np.testing.assert_allclose(
+            np.asarray(out["image"]),
+            np.asarray(b["image"], np.float32)[:, :, ::-1],
+        )
+        # boxes: x -> S - x, order preserved through the valid-first pack
+        ob = np.asarray(out["gt_boxes"])
+        ov = np.asarray(out["gt_valid"])
+        ib = np.asarray(b["gt_boxes"])
+        iv = np.asarray(b["gt_valid"])
+        for i in range(8):
+            exp = ib[i][iv[i]]
+            got = ob[i][ov[i]]
+            np.testing.assert_allclose(got[:, 0], S - exp[:, 2], rtol=1e-6)
+            np.testing.assert_allclose(got[:, 2], S - exp[:, 0], rtol=1e-6)
+            np.testing.assert_allclose(got[:, 1::2], exp[:, 1::2], rtol=1e-6)
+
+    def test_mixup_blend_is_half_half(self, cfg):
+        cfg2 = cfg.clone()
+        cfg2.defrost()
+        cfg2.INPUT.DISTORTION.ENABLED = False
+        cfg2.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED = False
+        cfg2.MODEL.YOLO.MAX_BOXES_NUM = 32
+        cfg2.freeze()
+        aug = D.DevicePhotometric(cfg2)
+        b = self._batch()
+        out = jax.jit(aug)(jax.random.PRNGKey(3), b)
+        img_in = np.asarray(b["image"], np.float32)
+        img_out = np.asarray(out["image"])
+        # every output image is either an input image or a 0.5/0.5 blend
+        # of two input images (the partner permutation is internal)
+        for i in range(8):
+            direct = np.abs(img_out[i] - img_in[i]).max() < 1e-4
+            blends = [
+                np.abs(img_out[i] - 0.5 * (img_in[i] + img_in[j])).max() < 1e-4
+                for j in range(8)
+            ]
+            assert direct or any(blends), i
+        # mixed samples carry the partner's boxes too
+        assert np.asarray(out["gt_valid"]).sum() >= np.asarray(
+            b["gt_valid"]
+        ).sum()
+
+    def test_hsv_matches_device_kernel(self, cfg):
+        """The HSV leg reuses hsv_distort (already differentially tested
+        vs the host chain); here: distortion toggling changes pixels."""
+        b = self._batch()
+        aug = D.DevicePhotometric(cfg)
+        cfg2 = cfg.clone()
+        cfg2.defrost()
+        cfg2.INPUT.DISTORTION.ENABLED = False
+        cfg2.freeze()
+        aug_off = D.DevicePhotometric(cfg2)
+        a = jax.jit(aug)(jax.random.PRNGKey(5), b)
+        c = jax.jit(aug_off)(jax.random.PRNGKey(5), b)
+        assert np.abs(
+            np.asarray(a["image"]) - np.asarray(c["image"])
+        ).mean() > 0.5
+
+    def test_packed_photo_step_runs_and_disables(self, cfg):
+        from yolov7_d2_tpu.engine import build_yolox_system
+
+        cfg2 = cfg.clone()
+        cfg2.defrost()
+        cfg2.MODEL.YOLO.DEPTH_MUL = 0.33
+        cfg2.MODEL.YOLO.WIDTH_MUL = 0.25
+        cfg2.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER = 1
+        cfg2.freeze()
+        model, state, train_step, _ = build_yolox_system(cfg2, batch_size=2)
+        step = jax.jit(D.make_packed_photo_step(cfg2, train_step, seed=0))
+        b = self._batch(b=4)
+        state, m0 = step(state, b)  # aug branch
+        state, m1 = step(state, b)  # passthrough branch
+        assert np.isfinite(float(m0["total_loss"]))
+        assert np.isfinite(float(m1["total_loss"]))

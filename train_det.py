@@ -126,7 +126,23 @@ def main(args) -> None:
     state, start_iter = checkpointer.resume_or_load(state, resume=args.resume)
 
     device_aug = bool(cfg.INPUT.MOSAIC_AND_MIXUP.DEVICE)
-    if device_aug:
+    packed_dir = str(cfg.DATALOADER.PACKED_CACHE_DIR)
+    if packed_dir:
+        # offline geometry (packed shards, uint8) + device photometric aug
+        # fused in the jitted step (data/device_aug.py:DevicePhotometric)
+        import numpy as np
+
+        from yolov7_d2_tpu.data.device_aug import make_packed_photo_step
+        from yolov7_d2_tpu.data.packed_cache import PackedShardLoader
+
+        train_step = make_packed_photo_step(cfg, train_step)
+        # SEED=-1 means "unseeded" (d2 convention); numpy needs >=0
+        loader = PackedShardLoader(
+            packed_dir, cfg.SOLVER.IMS_PER_BATCH, image_dtype=np.uint8,
+            seed=max(int(cfg.SEED), 0) + jax.process_index(),
+        )
+        mapper = None
+    elif device_aug:
         # host does decode+resize only; mosaic/mixup/HSV run fused in the
         # jitted train step (data/device_aug.py)
         from yolov7_d2_tpu.data.device_aug import make_device_aug_step
@@ -138,13 +154,16 @@ def main(args) -> None:
         mapper = YOLOXDatasetMapper(
             cfg, is_train=True, seed=jax.process_index()
         )
-    loader = build_detection_train_loader(cfg, records, mapper)
+    if not packed_dir:
+        loader = build_detection_train_loader(cfg, records, mapper)
 
     mesh = build_mesh(cfg.TPU.MESH_SHAPE, cfg.TPU.MESH_AXES)
     hooks = [
         IterationTimer(),
     ]
-    if not device_aug:  # on-device path disables via lax.cond on the step
+    # on-device paths (tile aug / packed photometric) disable aug via a
+    # lax.cond on the step counter instead of a host hook
+    if not device_aug and not packed_dir:
         hooks.append(
             AugDisableHook(mapper, cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER)
         )

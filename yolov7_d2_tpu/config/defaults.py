@@ -417,6 +417,12 @@ def get_cfg() -> CfgNode:
 
     _C.DATALOADER = CfgNode()
     _C.DATALOADER.NUM_WORKERS = 4
+    # pre-augmented packed-shard cache dir (data/packed_cache.py): when
+    # set, train_det reads uint8 shards (offline geometry) and runs the
+    # DEVICE photometric aug (mixup blend + HSV + flip) fused in the
+    # jitted train step — the measured feed-the-chip recipe for weak
+    # hosts (docs/PERF.md round 4)
+    _C.DATALOADER.PACKED_CACHE_DIR = ""
     _C.DATALOADER.PREFETCH_BUFFER = 2
     _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
     _C.DATALOADER.SHUFFLE = True

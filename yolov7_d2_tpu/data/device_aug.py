@@ -639,6 +639,130 @@ class DeviceAug:
         }
 
 
+class DevicePhotometric:
+    """Elementwise-only device augmentation over PRE-AUGMENTED batches
+    (the packed-shard cache, ``data/packed_cache.py``): in-batch MixUp
+    blend + HSV distortion + horizontal flip.
+
+    Rationale (measured, docs/PERF.md round 4): the full device-side
+    GEOMETRY aug (``DeviceAug``) is gather-bound — 2.25 s/batch @bs32 on
+    the v5e, ~100x off any roofline, because per-pixel bilinear warps are
+    63M random 3-wide row-gathers that TPU executes at ~45M rows/s, and
+    every matmul/one-hot reformulation floors >=40 ms/step. The
+    TPU-native split is therefore: geometry OFFLINE (packed shards, any
+    host, any epoch count) or on many-core hosts; photometrics ONLINE on
+    device, where they are pure elementwise bandwidth (~11 ms/batch
+    @bs32 for HSV) and keep per-step randomness.
+
+    Semantics vs the reference chain (dataset_mapper.py:339-597):
+      * HSV + hflip: exactly the reference ops (same kernels as
+        ``DeviceAug``, tested in tests/test_device_aug.py).
+      * MixUp: the reference blends a mosaic output with a jitter-resized
+        RAW partner; here two offline-augmented samples are blended
+        0.5/0.5 (the partner is another mosaic output). Documented
+        deviation — the blend weights and the box-union semantics match.
+    """
+
+    def __init__(self, cfg, max_boxes: int = None):
+        m = cfg.INPUT.MOSAIC_AND_MIXUP
+        self.enable_mixup = bool(m.ENABLE_MIXUP)
+        self.distortion = bool(cfg.INPUT.DISTORTION.ENABLED)
+        self.hue = float(cfg.INPUT.DISTORTION.HUE)
+        self.saturation = float(cfg.INPUT.DISTORTION.SATURATION)
+        self.exposure = float(cfg.INPUT.DISTORTION.EXPOSURE)
+        self.flip_prob = (
+            float(cfg.INPUT.RANDOM_FLIP_HORIZONTAL.PROB)
+            if cfg.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED
+            else 0.0
+        )
+        self.max_boxes = int(max_boxes or cfg.MODEL.YOLO.MAX_BOXES_NUM)
+
+    def __call__(self, rng: jax.Array, batch: Dict) -> Dict:
+        img = batch["image"].astype(jnp.float32)  # uint8 shards -> f32
+        B = img.shape[0]
+        ow = img.shape[2]
+        k0, k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 8)
+
+        gb = batch["gt_boxes"].astype(jnp.float32)
+        gc = batch["gt_classes"].astype(jnp.int32)
+        gv = batch["gt_valid"]
+
+        if self.enable_mixup:
+            perm = jax.random.permutation(k0, B)
+            do_mix = jax.random.uniform(k1, (B,)) < 0.5
+            mixed = img * 0.5 + img[perm] * 0.5
+            img = jnp.where(do_mix[:, None, None, None], mixed, img)
+            gb = jnp.concatenate([gb, gb[perm]], axis=1)
+            gc = jnp.concatenate([gc, gc[perm]], axis=1)
+            gv = jnp.concatenate([gv, gv[perm] & do_mix[:, None]], axis=1)
+
+        if self.distortion:
+            dhue = jax.random.uniform(
+                k2, (B,), minval=-self.hue, maxval=self.hue
+            )
+            sat = jax.random.uniform(
+                k3, (B,), minval=1.0, maxval=self.saturation
+            )
+            dsat = jnp.where(
+                jax.random.uniform(k4, (B,)) < 0.5, sat, 1.0 / sat
+            )
+            exp = jax.random.uniform(
+                k5, (B,), minval=1.0, maxval=self.exposure
+            )
+            dexp = jnp.where(
+                jax.random.uniform(k6, (B,)) < 0.5, exp, 1.0 / exp
+            )
+            img = jax.vmap(hsv_distort)(img, dhue, dsat, dexp)
+
+        do_flip = jax.random.uniform(k7, (B,)) < self.flip_prob
+        img = jnp.where(do_flip[:, None, None, None], img[:, :, ::-1], img)
+        fx1 = jnp.where(do_flip[:, None], ow - gb[..., 2], gb[..., 0])
+        fx2 = jnp.where(do_flip[:, None], ow - gb[..., 0], gb[..., 2])
+        gb = jnp.stack([fx1, gb[..., 1], fx2, gb[..., 3]], axis=-1)
+
+        gb, gc, gv = jax.vmap(pack_boxes, in_axes=(0, 0, 0, None))(
+            gb, gc, gv, self.max_boxes
+        )
+        return {
+            "image": img,
+            "gt_boxes": jnp.where(gv[..., None], gb, 0.0),
+            "gt_classes": jnp.where(gv, gc, 0),
+            "gt_valid": gv,
+        }
+
+    def passthrough(self, batch: Dict) -> Dict:
+        k = self.max_boxes
+        return {
+            "image": batch["image"].astype(jnp.float32),
+            "gt_boxes": batch["gt_boxes"][:, :k].astype(jnp.float32),
+            "gt_classes": batch["gt_classes"][:, :k].astype(jnp.int32),
+            "gt_valid": batch["gt_valid"][:, :k],
+        }
+
+
+def make_packed_photo_step(cfg, train_step, seed: int = None):
+    """Wrap ``train_step`` so uint8 packed-shard batches get the device
+    photometric aug (mixup blend + HSV + flip) fused into the same jit
+    graph. Transfer rides uint8 (4x less host->HBM traffic than f32);
+    the late-training ``DISABLE_AT_ITER`` switch is a ``lax.cond`` on the
+    step counter, same as ``make_device_aug_step``."""
+    aug = DevicePhotometric(cfg)
+    disable_at = int(cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER)
+    base = jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED))
+
+    def step(state, batch):
+        key = jax.random.fold_in(base, state.step)
+        augmented = jax.lax.cond(
+            state.step < disable_at,
+            lambda b: aug(key, b),
+            aug.passthrough,
+            batch,
+        )
+        return train_step(state, augmented)
+
+    return step
+
+
 def make_device_aug_step(cfg, train_step, seed: int = None):
     """Wrap a jittable ``train_step(state, batch)`` so the DEVICE aug runs
     fused inside the same jit graph: tiles in, gradients out. The rng

@@ -378,9 +378,15 @@ def yolox_losses(
         top_idx = jax.vmap(_prefilter_one)(
             jax.lax.stop_gradient(outputs), gt_boxes_xyxy, gt_valid
         )  # [B, K]
-        out_k = jnp.take_along_axis(
-            outputs, top_idx[..., None], axis=1
-        ).astype(jnp.float32)
+        # .at[].get with sorted/unique hints: top_idx rows are jnp.sort-ed
+        # unique top_k indices, and the hints propagate to the gather's
+        # transpose so the backward lowers to a parallel (not serialized)
+        # scatter-add into [A, 5+C].
+        out_k = jax.vmap(
+            lambda o, i: o.at[i].get(
+                indices_are_sorted=True, unique_indices=True
+            )
+        )(outputs, top_idx).astype(jnp.float32)
         # one fused row-gather for the anchor geometry (separate [A, 2] and
         # [A] gathers each cost ~2ms/step @bs128 as scattered reads)
         geom = jnp.concatenate([grids, strides[:, None]], axis=-1)  # [A, 3]
@@ -458,7 +464,9 @@ def yolox_losses(
     # back to full A under the prefilter; top_k indices are unique)
     if top_idx is not None:
         obj_target = jax.vmap(
-            lambda i, f: jnp.zeros((a_total,)).at[i].set(f)
+            lambda i, f: jnp.zeros((a_total,)).at[i].set(
+                f, indices_are_sorted=True, unique_indices=True
+            )
         )(top_idx, fg_f)
         loss_obj = jnp.sum(
             sigmoid_binary_cross_entropy(
