@@ -564,10 +564,14 @@ def install_stubs() -> None:
     _res.BasicStem = type("BasicStem", (nn.Module,), {})
     _res.BottleneckBlock = type("BottleneckBlock", (nn.Module,), {})
     _res.DeformBottleneckBlock = type("DeformBottleneckBlock", (nn.Module,), {})
+    # bifpn.py imports the d2 resnet builder (only used by its registered
+    # build_* functions, never in the parity path)
+    _res.build_resnet_backbone = lambda *a, **k: None
     _fpn = _stub("detectron2.modeling.backbone.fpn")
     _fpn.FPN = type("FPN", (nn.Module,), {})
     _fpn.LastLevelMaxPool = type("LastLevelMaxPool", (nn.Module,), {})
     _fpn.LastLevelP6P7 = type("LastLevelP6P7", (nn.Module,), {})
+    mb.FPN = _fpn.FPN  # dlafpn.py: `from detectron2.modeling.backbone import FPN`
     mb.build = mbuild
     mb.BACKBONE_REGISTRY = _Registry()
     mbuild.BACKBONE_REGISTRY = _Registry()

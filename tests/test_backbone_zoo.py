@@ -99,12 +99,18 @@ def _pyramid():
 
 def test_bifpn_five_levels():
     neck = BiFPN(out_channels=32, num_bifpn=2)
-    feats = _pyramid()
+    # reference BiFPN size_divisibility is 128: P7 = stride-128 maxpool
+    # chain, so the finest (stride-8) tap must be >= 16x16
+    feats = [
+        jnp.ones((1, 16, 16, 64)),
+        jnp.ones((1, 8, 8, 128)),
+        jnp.ones((1, 4, 4, 256)),
+    ]
     v = neck.init(jax.random.PRNGKey(0), feats)
     outs = neck.apply(v, feats)
     assert len(outs) == 5
-    assert outs[0].shape == (1, 8, 8, 32)
-    assert outs[3].shape == (1, 1, 1, 32)   # P6
+    assert outs[0].shape == (1, 16, 16, 32)
+    assert outs[3].shape == (1, 2, 2, 32)   # P6
     for o in outs:
         assert np.all(np.isfinite(np.asarray(o)))
 

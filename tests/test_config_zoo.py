@@ -44,14 +44,17 @@ def test_yaml_runs_one_jitted_train_step(path):
 
     cfg = get_cfg()
     cfg.merge_from_file(path)
-    cfg.INPUT.INPUT_SIZE = [64, 64]
+    # BiFPN builds a stride-128 P7 by strict k=s maxpools (reference
+    # size_divisibility 128) — 64px would pool a 1x1 P6 to 0x0
+    size = 128 if cfg.MODEL.YOLO.NECK.TYPE == "bifpn" else 64
+    cfg.INPUT.INPUT_SIZE = [size, size]
     cfg.MODEL.YOLO.MAX_BOXES_NUM = 8
     cfg.SOLVER.AMP.ENABLED = False
     cfg.freeze()
     model, state, train_step, fields = build_system(cfg, batch_size=1)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     assert n_params > 0 and len(fields) >= 3
-    batch = synth_batch(fields, b=1, s=64)
+    batch = synth_batch(fields, b=1, s=size)
     new_state, metrics = jax.jit(train_step)(state, batch)
     assert np.isfinite(float(metrics["total_loss"])), path
     assert int(new_state.step) == 1

@@ -851,3 +851,77 @@ def test_solov2_mask_head_parity():
     np.testing.assert_allclose(
         _nchw(ours), ref.numpy(), rtol=3e-4, atol=3e-4,
         err_msg="solov2 mask head diverges")
+
+
+# ---------------------------------------------------------------------------
+# BiFPN (neck/bifpn.py:295 — weighted FpnCombine:184, ResampleFeatureMap:144)
+# ---------------------------------------------------------------------------
+
+def _ref_bifpn(out_channels, num_bifpn, separable, seed):
+    import sys
+
+    rb = ref_module("yolov7.modeling.neck.bifpn")
+    ShapeSpec = sys.modules["detectron2.layers"].ShapeSpec
+    Backbone = sys.modules["detectron2.modeling"].Backbone
+
+    class _FeatsBU(Backbone):
+        """Passes pre-made feature dicts straight through (the parity
+        target is the BiFPN graph, not the bottom-up)."""
+
+        def __init__(self, chans, strides):
+            super().__init__()
+            self._sh = {
+                f"res{i + 3}": ShapeSpec(channels=c, stride=s)
+                for i, (c, s) in enumerate(zip(chans, strides))
+            }
+
+        def output_shape(self):
+            return self._sh
+
+        def forward(self, x):
+            return x
+
+    bu = _FeatsBU([40, 112, 320], [8, 16, 32])
+    tm = rb.BiFPN(
+        cfg=None, bottom_up=bu, in_features=["res3", "res4", "res5"],
+        out_channels=out_channels, norm="GN", num_levels=5,
+        num_bifpn=num_bifpn, separable_conv=separable,
+    ).eval()
+    _randomize(tm, seed=seed)
+    return tm
+
+
+@pytest.mark.parametrize("separable", [False, True])
+def test_bifpn_activation_parity(separable):
+    """Full BiFPN graph vs the reference's own torch module: the 8-node
+    fusion topology, fastattn edge weights (relu + shared 1e-4
+    normalizer), 1x1+GN+maxpool/nearest resampling edges, the two extra
+    input levels (conv+GN+pool then bare pool), and Swish-then-conv
+    node refinement with GN and no trailing activation — for both the
+    plain-conv default and SEPARABLE_CONV=True."""
+    from yolov7_d2_tpu.models.necks.bifpn import BiFPN
+
+    tm = _ref_bifpn(64, 2, separable, seed=61 + separable)
+    rng = np.random.default_rng(61 + separable)
+    feats = {
+        "res3": rng.standard_normal((1, 40, 32, 32)).astype(np.float32),
+        "res4": rng.standard_normal((1, 112, 16, 16)).astype(np.float32),
+        "res5": rng.standard_normal((1, 320, 8, 8)).astype(np.float32),
+    }
+    jfeats = [_nhwc(feats[k]) for k in ("res3", "res4", "res5")]
+
+    fm = BiFPN(out_channels=64, num_bifpn=2, norm="GN",
+               separable_conv=separable)
+    variables = fm.init(jax.random.PRNGKey(0), jfeats)
+    ported, report = wp.port_bifpn_state_dict(
+        _state_np(tm), variables, strict=True)
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        ref = tm({k: torch.from_numpy(v) for k, v in feats.items()})
+    ours = fm.apply(ported, jfeats)
+    assert len(ours) == 5
+    for i, level in enumerate(("p3", "p4", "p5", "p6", "p7")):
+        np.testing.assert_allclose(
+            _nchw(ours[i]), ref[level].numpy(), rtol=3e-4, atol=3e-4,
+            err_msg=f"bifpn {level} diverges (separable={separable})")

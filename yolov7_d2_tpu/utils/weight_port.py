@@ -1119,3 +1119,64 @@ def map_solov2_mask_torch_name(name: str):
     if m:
         return (f"pred_{'conv' if m.group(1) == '0' else 'gn'}",)
     return tuple(name.replace(".", "/").split("/"))
+
+
+def map_bifpn_torch_name(name: str):
+    """Reference BiFPN keys (neck/bifpn.py:295) -> our flax module names.
+
+    ``resample.{L}.conv.{conv,bn}`` (input-level extension),
+    ``cell.{r}.fnode.{i}.combine.resample.{off}.conv.{conv,bn}`` (edge
+    resampling), ``cell.{r}.fnode.{i}.after_combine.conv.{conv,bn,
+    conv_dw,conv_pw}`` (node refinement). ``edge_weights`` is handled by
+    ``port_bifpn_state_dict`` (raw parameter, not weight/bias-shaped).
+    """
+    m = re.match(r"^resample\.(\d+)\.conv\.(conv|bn)$", name)
+    if m:
+        return (f"resample_{m.group(1)}_{m.group(2)}",)
+    m = re.match(
+        r"^cell\.(\d+)\.fnode\.(\d+)\.combine\.resample\.(\d+)"
+        r"\.conv\.(conv|bn)$",
+        name,
+    )
+    if m:
+        r, i, off, leaf = m.groups()
+        return (f"cell{r}_fnode{i}_res{off}_{leaf}",)
+    m = re.match(
+        r"^cell\.(\d+)\.fnode\.(\d+)\.after_combine\.conv"
+        r"\.(conv_dw|conv_pw|conv|bn)$",
+        name,
+    )
+    if m:
+        r, i, leaf = m.groups()
+        suffix = {"conv": "conv", "bn": "bn", "conv_dw": "dw",
+                  "conv_pw": "pw"}[leaf]
+        return (f"cell{r}_fnode{i}_conv_{suffix}",)
+    return tuple(name.replace(".", "/").split("/"))
+
+
+def port_bifpn_state_dict(state_dict, variables, strict: bool = False):
+    """Pour a reference BiFPN state dict into our variables; the fastattn
+    ``edge_weights`` are raw 1-d parameters that the generic leaf rules
+    (weight/bias/running_*) do not cover."""
+    edges = {}
+    rest = {}
+    for k, v in state_dict.items():
+        if k.endswith(".edge_weights"):
+            edges[k] = v
+        else:
+            rest[k] = v
+    new_vars, report = port_torch_state_dict(
+        rest, variables, name_mapper=map_bifpn_torch_name, strict=False
+    )
+    for k, v in edges.items():
+        m = re.match(r"^cell\.(\d+)\.fnode\.(\d+)\.combine\.edge_weights$", k)
+        assert m, k
+        name = f"cell{m.group(1)}_fnode{m.group(2)}_edge"
+        leaf = new_vars["params"][name]
+        w = np.asarray(v)
+        assert leaf.shape == w.shape, (name, leaf.shape, w.shape)
+        new_vars["params"][name] = w.astype(leaf.dtype)
+        report["ported"].append(k)
+    if strict and report["unused"]:
+        raise KeyError(f"unmatched torch keys: {report['unused'][:20]}")
+    return new_vars, report
