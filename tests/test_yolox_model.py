@@ -179,6 +179,68 @@ def test_eval_postprocess_contract():
     assert dets.valid.shape == (2, 10)
 
 
+def test_postprocess_restructure_matches_reference_formulation():
+    """The round-4 TPU restructuring of yolox_postprocess (max-then-sigmoid,
+    decode-after-gather, index-sorted gathers) must reproduce the reference
+    formulation (decode-all -> sigmoid-all -> score-ordered top-k) exactly.
+    The oracle below is the literal pre-restructure implementation."""
+    from yolov7_d2_tpu.ops.nms import batched_nms_batched
+    from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
+
+    def oracle(head_out, conf_threshold, nms_threshold, max_detections,
+               pre_nms_topk):
+        boxes_cxcywh, obj_logits, cls_logits = decode_outputs(
+            head_out["outputs"], head_out["grids"], head_out["strides"]
+        )
+        boxes = cxcywh_to_xyxy(boxes_cxcywh)
+        obj = jax.nn.sigmoid(obj_logits)
+        cls_prob = jax.nn.sigmoid(cls_logits)
+        best_cls = jnp.argmax(cls_prob, axis=-1)
+        best_prob = jnp.max(cls_prob, axis=-1)
+        scores = jnp.where(
+            obj * best_prob >= conf_threshold, obj * best_prob, 0.0
+        )
+        pre_nms_topk = min(pre_nms_topk, scores.shape[-1])
+        top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)
+        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
+        keep_idx, keep_valid = batched_nms_batched(
+            top_boxes, top_scores, top_cls, nms_threshold, max_detections
+        )
+        sel = jnp.clip(keep_idx, 0)
+        return (
+            jnp.take_along_axis(top_boxes, sel[..., None], axis=1),
+            jnp.where(
+                keep_valid, jnp.take_along_axis(top_scores, sel, axis=1), 0.0
+            ),
+            jnp.take_along_axis(top_cls, sel, axis=1).astype(jnp.int32),
+            keep_valid,
+        )
+
+    model = _tiny_model()
+    variables, _ = _init(model, bs=2)
+    imgs = jax.random.uniform(
+        jax.random.PRNGKey(3), (2, SIZE, SIZE, 3), minval=0.0, maxval=255.0
+    )
+    out = model.apply(variables, imgs, train=False)
+    kw = dict(conf_threshold=0.0, nms_threshold=0.5, max_detections=16,
+              pre_nms_topk=24)
+    dets = yolox_postprocess(out, **kw)
+    ob, os_, oc, ov = oracle(out, **kw)
+    np.testing.assert_array_equal(np.asarray(dets.valid), np.asarray(ov))
+    np.testing.assert_allclose(
+        np.asarray(dets.scores), np.asarray(os_), rtol=0, atol=1e-6
+    )
+    valid = np.asarray(dets.valid)
+    np.testing.assert_array_equal(
+        np.asarray(dets.classes)[valid], np.asarray(oc)[valid]
+    )
+    np.testing.assert_allclose(
+        np.asarray(dets.boxes)[valid], np.asarray(ob)[valid],
+        rtol=1e-6, atol=1e-4,
+    )
+
+
 def test_model_jit_compiles():
     model = _tiny_model()
     variables, imgs = _init(model)

@@ -232,21 +232,97 @@ class CSPLayer(nn.Module):
         )(x, train)
 
 
+class _FoldedFocusConv(nn.Module):
+    """nn.Conv-compatible stem conv with the 2x2 space-to-depth folded in.
+
+    Holds the identical parameter (``kernel`` [k, k, 4c, out]) at the
+    identical path as the ``nn.Conv`` it replaces, but applies it as the
+    mathematically equivalent 2k x 2k stride-2 convolution on the RAW
+    image: W2k[di::2, dj::2] = W[k, k, g(di,dj)*c:(g+1)*c] with the Focus
+    group order (tl, bl, tr, br) = (0,0),(1,0),(0,1),(1,1). Same products,
+    same output — but the explicit transpose/concat materialized ~3x the
+    full-resolution image in HBM (the largest single data-formatting tax
+    in the round-4 e2e trace at 640px); the folded form reads the image
+    once inside the conv.
+    """
+
+    features: int
+    ksize: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        k = self.ksize
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 4 * c, self.features),
+            jnp.float32,
+        )
+        w2k = jnp.zeros((2 * k, 2 * k, c, self.features), kernel.dtype)
+        for g, (di, dj) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+            w2k = w2k.at[di::2, dj::2].set(
+                kernel[:, :, g * c : (g + 1) * c, :]
+            )
+        # SAME on the half grid (pad (k-1)//2) becomes pad k-1 here
+        p = k - 1
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w2k.astype(self.dtype),
+            window_strides=(2, 2),
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class _FoldedFocusCBS(nn.Module):
+    """BaseConv twin (same param tree: conv/kernel + bn) over _FoldedFocusConv."""
+
+    out_channels: int
+    ksize: int
+    act: str
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = _FoldedFocusConv(
+            self.out_channels, self.ksize, dtype=self.dtype, name="conv"
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return get_activation(self.act)(x).astype(self.dtype)
+
+
 class Focus(nn.Module):
     """Patchify stem (wrappers.py:202): space-to-depth 2x2 then conv.
 
-    On TPU the pixel-shuffle is a pure reshape/transpose that XLA folds into
-    the following convolution's input layout.
+    Default path folds the space-to-depth into the conv kernel (see
+    _FoldedFocusConv — exact same math and parameters, one HBM pass);
+    ``fold=False`` keeps the explicit transpose/concat formulation (the
+    differential oracle in tests/test_blocks.py).
     """
 
     out_channels: int
     ksize: int = 3
     stride: int = 1
     act: str = "silu"
+    fold: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.fold and self.stride == 1 and self.ksize % 2 == 1:
+            return _FoldedFocusCBS(
+                self.out_channels, self.ksize, self.act,
+                dtype=self.dtype, name="conv",
+            )(x, train)
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         # order (tl, bl, tr, br) matches the torch cat order in the reference

@@ -26,11 +26,7 @@ from flax import linen as nn
 
 from yolov7_d2_tpu.core.registry import META_ARCH_REGISTRY
 from yolov7_d2_tpu.models.backbones.darknetx import CSPDarknetX
-from yolov7_d2_tpu.models.heads.yolox_head import (
-    YOLOXHead,
-    decode_outputs,
-    yolox_losses,
-)
+from yolov7_d2_tpu.models.heads.yolox_head import YOLOXHead, yolox_losses
 from yolov7_d2_tpu.models.necks.yolo_pafpn import YOLOPAFPN
 from yolov7_d2_tpu.ops.nms import batched_nms_batched
 from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy
@@ -122,22 +118,47 @@ def yolox_postprocess(
     obj * best-class prob, candidates below ``conf_threshold`` are masked,
     NMS runs class-aware on the top ``pre_nms_topk`` candidates.
     """
-    boxes_cxcywh, obj_logits, cls_logits = decode_outputs(
-        head_out["outputs"], head_out["grids"], head_out["strides"]
-    )
-    boxes = cxcywh_to_xyxy(boxes_cxcywh)              # [B, A, 4]
-    obj = jax.nn.sigmoid(obj_logits)                  # [B, A]
-    cls_prob = jax.nn.sigmoid(cls_logits)             # [B, A, C]
-    best_cls = jnp.argmax(cls_prob, axis=-1)          # [B, A]
-    best_prob = jnp.max(cls_prob, axis=-1)            # [B, A]
-    scores = obj * best_prob
+    # TPU restructuring (exact math, trace-driven — docs/PERF.md round 4):
+    #  * best-class via max/argmax on the RAW logits in the compute dtype;
+    #    sigmoid is strictly monotone so sigmoid(max(l)) == max(sigmoid(l))
+    #    and the argmax winner is identical — this removes the f32 sigmoid
+    #    over the full [B, A, C] tensor (~1.7 ms @bs128).
+    #  * decode AFTER the top-k gather: only the K kept rows pay the f32
+    #    cast / grid-shift / exp instead of all A anchors.
+    #  * the K gather indices are re-sorted by anchor index: greedy NMS is
+    #    argmax-based so score order is irrelevant, and sorted+unique
+    #    indices let the row gathers take XLA's fast lowering (the
+    #    score-ordered take_along_axis gathers ran at 2-6 GB/s in the
+    #    round-4 trace).
+    out = head_out["outputs"]                         # [B, A, 5+C]
+    grids = head_out["grids"]                         # [A, 2]
+    strides = head_out["strides"]                     # [A]
+    cls_logits = out[..., 5:]
+    best_cls = jnp.argmax(cls_logits, axis=-1)        # [B, A]
+    best_logit = jnp.max(cls_logits, axis=-1)         # [B, A] compute dtype
+    obj = jax.nn.sigmoid(out[..., 4].astype(jnp.float32))
+    scores = obj * jax.nn.sigmoid(best_logit.astype(jnp.float32))
     scores = jnp.where(scores >= conf_threshold, scores, 0.0)
 
     # pre-NMS top-k keeps the NMS candidate set small and static
     pre_nms_topk = min(pre_nms_topk, scores.shape[-1])
-    top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)   # [B, K]
-    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
-    top_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
+    _, top_idx = jax.lax.top_k(scores, pre_nms_topk)  # [B, K]
+    top_idx = jnp.sort(top_idx, axis=-1)              # sorted + unique
+
+    gather = lambda a, i: a.at[i].get(
+        indices_are_sorted=True, unique_indices=True
+    )
+    top_scores = jax.vmap(gather)(scores, top_idx)            # [B, K]
+    top_cls = jax.vmap(gather)(best_cls, top_idx)             # [B, K]
+    top_raw = jax.vmap(gather)(out[..., :4], top_idx)         # [B, K, 4]
+    top_grids = jax.vmap(lambda i: gather(grids, i))(top_idx)     # [B, K, 2]
+    top_strides = jax.vmap(lambda i: gather(strides, i))(top_idx)  # [B, K]
+
+    raw = top_raw.astype(jnp.float32)
+    xy = (raw[..., 0:2] + top_grids) * top_strides[..., None]
+    # same exp clamp as decode_outputs (yolox_head.py:119)
+    wh = jnp.exp(jnp.clip(raw[..., 2:4], max=11.09)) * top_strides[..., None]
+    top_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))
 
     keep_idx, keep_valid = batched_nms_batched(
         top_boxes, top_scores, top_cls, nms_threshold, max_detections
