@@ -80,6 +80,10 @@ def install_stubs() -> None:
     _avd = _stub("alfred.vis.image.det")
     _avd.visualize_det_cv2_part = lambda *a, **k: None
     _avd.visualize_det_cv2_fancy = lambda *a, **k: None
+    _avm = _stub("alfred.vis.image.mask")
+    _avm.label2color_mask = lambda *a, **k: None
+    _avm.vis_bitmasks = lambda *a, **k: None
+    _avm.vis_bitmasks_with_classes = lambda *a, **k: None
 
     # ---- fvcore weight init (real minimal implementations — they only
     # affect init, which parity tests overwrite anyway)

@@ -68,12 +68,14 @@ def test_uniform_match_assigns_nearest():
     gt = jnp.zeros((G, 4)).at[0].set(jnp.array([0.0, 0.0, 32.0, 32.0]))
     gv = jnp.zeros((G,), bool).at[0].set(True)
     m = uniform_match(pred, anchors, gt, gv, match_topk=2)
-    fg = np.asarray(m["fg_mask"])
-    assert fg.sum() >= 1
-    # all matched anchors point at gt 0
-    assert np.all(np.asarray(m["matched_gt"])[fg] == 0)
-    # top-left anchors (cell 0) must be among matches
-    assert fg[:5].any()
+    occ = {k: np.asarray(v) for k, v in m.items()}
+    live = occ["occ_valid"] & ~occ["occ_pos_ignore"]
+    assert live.sum() >= 1
+    # every valid occurrence points at gt 0 (the only valid gt)
+    assert np.all(occ["occ_gt"][occ["occ_valid"]] == 0)
+    # the exact-overlap anchor (cell 0's scales) is among the winners
+    fg_anchors = occ["occ_anchor"][live & occ["winner"]]
+    assert (fg_anchors < 5).any()
 
 
 def test_yolof_forward_and_loss():

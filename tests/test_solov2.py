@@ -27,7 +27,10 @@ def test_level_targets_center_region():
     )
     gt_classes = jnp.zeros((G,), jnp.int32).at[0].set(2)
     gt_valid = jnp.zeros((G,), bool).at[0].set(True)
-    t = _level_targets(8, (1, 96), (S, S), gt_boxes, gt_classes, gt_valid)
+    centers = jnp.zeros((G, 2)).at[0].set(jnp.array([32.0, 32.0]))
+    mask_valid = gt_valid
+    t = _level_targets(8, (1, 96), (S, S), gt_boxes, gt_classes,
+                       gt_valid, centers, mask_valid)
     cate = np.asarray(t["cate_target"])
     # center cell (4, 4) on the 8x8 grid is positive with class 2 (+1)
     assert cate[4, 4] == 3
@@ -44,7 +47,9 @@ def test_level_targets_scale_filtering():
     gt_classes = jnp.zeros((G,), jnp.int32)
     gt_valid = jnp.zeros((G,), bool).at[0].set(True)
     # scale=60 outside range (96, 384) -> no positives
-    t = _level_targets(4, (96, 384), (S, S), gt_boxes, gt_classes, gt_valid)
+    centers = jnp.zeros((G, 2)).at[0].set(jnp.array([30.0, 30.0]))
+    t = _level_targets(4, (96, 384), (S, S), gt_boxes, gt_classes,
+                       gt_valid, centers, gt_valid)
     assert np.asarray(t["pos_ok"]).sum() == 0
 
 

@@ -1,0 +1,674 @@
+"""Differential GRADIENT parity against the reference's torch autograd
+(VERDICT round-4 item 1 — the capstone of the forward -> loss -> gradient
+ladder).
+
+Loss VALUES agreeing (test_torch_parity_losses.py) does not pin the
+stop-gradient boundaries: a misplaced ``stop_gradient`` on our side or an
+undetached tensor on theirs (the reference deliberately detaches SimOTA
+costs inside ``yolox_head.py:450`` ``@torch.no_grad`` and SparseInst's
+matcher ``sparseinst_loss.py:305-350`` runs no-grad) leaves every
+value-level test green while training diverges. These tests compare the
+actual gradients:
+
+  * criterion-INPUT gradients (d loss / d head outputs) for YOLOX,
+    SparseInst, DETR (softmax + focal), and YOLOF — element-wise against
+    ``loss.backward()`` on the reference's own torch criteria;
+  * full-model PER-PARAMETER gradients for the flagship YOLOX stack
+    (CSPDarknet + PAFPN + YOLOXHead + get_losses, train-mode BN), torch
+    grads ported through the same name maps as the weights;
+  * a 3-step SGD training-trajectory parity test (same data, same LR):
+    parameters AND BatchNorm running statistics agree after 3 steps,
+    pinning optimizer semantics and the torch unbiased running-var
+    update rule (models/layers/norm.py).
+
+Scenes avoid measure-zero assignment ties exactly as in
+test_torch_parity_losses.py so matchings are unique and the gradients
+are well-defined on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _torchref import install_stubs, ref_module  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _t(x, requires_grad=False):
+    import torch
+
+    t = torch.as_tensor(np.asarray(x))
+    if requires_grad:
+        t = t.clone().requires_grad_(True)
+    return t
+
+
+def _assert_grad_close(ours, ref, name, rtol=1e-3, atol_scale=1e-5):
+    """Element-wise gradient comparison with a tolerance floored at a
+    fraction of the gradient's own magnitude (tiny entries are dominated
+    by fp32 reassociation noise on both sides)."""
+    ours = np.asarray(ours, np.float64)
+    ref = np.asarray(ref, np.float64)
+    assert ours.shape == ref.shape, (name, ours.shape, ref.shape)
+    scale = max(float(np.abs(ref).max()), 1e-8)
+    np.testing.assert_allclose(
+        ours, ref, rtol=rtol, atol=scale * atol_scale,
+        err_msg=f"gradient mismatch: {name}")
+
+
+# ---------------------------------------------------------------------------
+# YOLOX: d total_loss / d raw head outputs, across the no-grad SimOTA boundary
+# ---------------------------------------------------------------------------
+
+def _yolox_scene(rng, B, C, img, level_hw, strides_l, gt_counts, Gmax):
+    A = sum(h * w for h, w in level_hw)
+    raw = rng.randn(B, A, 5 + C).astype(np.float32) * 0.5
+    grids, stride_v, x_shifts, y_shifts, exp_strides = [], [], [], [], []
+    for (h, w), s in zip(level_hw, strides_l):
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        g = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+        grids.append(g)
+        stride_v.append(np.full((h * w,), s, np.float32))
+        x_shifts.append(_t(g[None, :, 0]))
+        y_shifts.append(_t(g[None, :, 1]))
+        exp_strides.append(_t(np.full((1, h * w), s, np.float32)))
+    grids = np.concatenate(grids)
+    stride_v = np.concatenate(stride_v)
+
+    labels = np.zeros((B, Gmax, 5), np.float32)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(12, img - 12, size=(g, 2)).astype(np.float32)
+        wh = rng.uniform(8, 30, size=(g, 2)).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        labels[b, :g, 0] = cls
+        labels[b, :g, 1:3] = cxcy
+        labels[b, :g, 3:5] = wh
+        gt_boxes[b, :g, 0:2] = cxcy - wh / 2
+        gt_boxes[b, :g, 2:4] = cxcy + wh / 2
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+    return (raw, grids, stride_v, x_shifts, y_shifts, exp_strides,
+            labels, gt_boxes, gt_classes, gt_valid)
+
+
+@pytest.mark.parametrize("use_l1", [False, True])
+def test_yolox_criterion_input_grads(use_l1):
+    """d total / d raw outputs through decode + get_losses. The SimOTA
+    assignment is no-grad on BOTH sides; everything downstream of it
+    (iou/obj/cls/l1 terms) must produce identical gradients."""
+    import torch
+
+    install_stubs()
+    ref_head_mod = ref_module("yolov7.modeling.head.yolox_head")
+    from yolov7_d2_tpu.models.heads.yolox_head import yolox_losses
+
+    rng = np.random.RandomState(5)
+    B, C, img = 2, 7, 64
+    level_hw = [(8, 8), (4, 4), (2, 2)]
+    strides_l = [8, 16, 32]
+    (raw, grids, stride_v, x_shifts, y_shifts, exp_strides,
+     labels, gt_boxes, gt_classes, gt_valid) = _yolox_scene(
+        rng, B, C, img, level_hw, strides_l, (3, 2), 4)
+
+    head = ref_head_mod.YOLOXHead(
+        num_classes=C, width=0.25, strides=strides_l,
+        in_channels=[64, 128, 256])
+    head.use_l1 = use_l1
+
+    raw_t = _t(raw, requires_grad=True)
+    grids_t, stride_t = _t(grids), _t(stride_v)
+    decoded = torch.cat([
+        (raw_t[..., 0:2] + grids_t) * stride_t[:, None],
+        torch.exp(raw_t[..., 2:4]) * stride_t[:, None],
+        raw_t[..., 4:],
+    ], dim=-1)
+    offs = np.cumsum([0] + [h * w for h, w in level_hw[:-1]])
+    origin_preds = [
+        raw_t[:, o:o + h * w, :4] for o, (h, w) in zip(offs, level_hw)
+    ]
+    total = head.get_losses(
+        None, x_shifts, y_shifts, exp_strides,
+        _t(labels), decoded, origin_preds, dtype=torch.float32,
+    )[0]
+    total.backward()
+    g_ref = raw_t.grad.numpy()
+
+    def f(r):
+        return yolox_losses(
+            {"outputs": r, "grids": jnp.asarray(grids),
+             "strides": jnp.asarray(stride_v)},
+            jnp.asarray(gt_boxes), jnp.asarray(gt_classes),
+            jnp.asarray(gt_valid),
+            num_classes=C, use_l1=use_l1, prefilter_topk=None,
+        )["total_loss"]
+
+    g_ours = jax.grad(f)(jnp.asarray(raw))
+    _assert_grad_close(g_ours, g_ref, f"yolox d/d_raw (l1={use_l1})")
+
+
+# ---------------------------------------------------------------------------
+# SparseInst: d sum(losses) / d (cls, mask, obj) logits — no-grad matcher
+# ---------------------------------------------------------------------------
+
+def _soft_blob_masks(rng, n, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    masks = []
+    for _ in range(n):
+        cy, cx = rng.uniform(0.2, 0.8) * h, rng.uniform(0.2, 0.8) * w
+        ry, rx = rng.uniform(0.15, 0.4) * h, rng.uniform(0.15, 0.4) * w
+        d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        masks.append((d < 1.0).astype(np.float32))
+    return np.stack(masks)
+
+
+class _MasksShim:
+    def __init__(self, tensor):
+        self.tensor = tensor
+
+    def __len__(self):
+        return self.tensor.shape[0]
+
+
+def test_sparseinst_criterion_input_grads():
+    import torch
+
+    install_stubs()
+    ref = ref_module("yolov7.modeling.loss.sparseinst_loss")
+    from yolov7_d2_tpu.models.meta_arch.sparseinst import sparseinst_losses
+
+    rng = np.random.RandomState(0)
+    gt_counts = (3, 2)
+    B, N, C = len(gt_counts), 16, 6
+    H, W = 64, 96
+    Hm, Wm = 16, 24
+    Gmax = max(gt_counts)
+
+    cls_logits = rng.randn(B, N, C).astype(np.float32)
+    mask_logits = rng.randn(B, N, Hm, Wm).astype(np.float32) * 2.0
+    obj_logits = rng.randn(B, N).astype(np.float32)
+
+    gt_masks = np.zeros((B, Gmax, H, W), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    targets = []
+    for b, g in enumerate(gt_counts):
+        m = _soft_blob_masks(rng, g, H, W)
+        cls = rng.randint(0, C, size=(g,))
+        gt_masks[b, :g] = m
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+        targets.append({
+            "labels": _t(cls.astype(np.int64)),
+            "masks": _MasksShim(_t(m)),
+        })
+
+    loss_cfg = SimpleNamespace(
+        ITEMS=("labels", "masks"), CLASS_WEIGHT=2.0, MASK_PIXEL_WEIGHT=5.0,
+        MASK_DICE_WEIGHT=2.0, OBJECTNESS_WEIGHT=1.0,
+        NAME="SparseInstCriterion")
+    matcher_cfg = SimpleNamespace(ALPHA=0.8, BETA=0.2,
+                                  NAME="SparseInstMatcher")
+    cfg = SimpleNamespace(MODEL=SimpleNamespace(SPARSE_INST=SimpleNamespace(
+        LOSS=loss_cfg, MATCHER=matcher_cfg,
+        DECODER=SimpleNamespace(NUM_CLASSES=C))))
+    criterion = ref.SparseInstCriterion(cfg, ref.SparseInstMatcher(cfg))
+
+    cls_t = _t(cls_logits, requires_grad=True)
+    mask_t = _t(mask_logits, requires_grad=True)
+    obj_t = _t(obj_logits, requires_grad=True)
+    ref_losses = criterion(
+        {"pred_logits": cls_t, "pred_masks": mask_t,
+         "pred_scores": obj_t[..., None]},
+        targets, input_shape=(H, W),
+    )
+    total = (ref_losses["loss_ce"] + ref_losses["loss_mask"]
+             + ref_losses["loss_dice"] + ref_losses["loss_objectness"])
+    total.backward()
+
+    def f(cl, ml, ol):
+        l = sparseinst_losses(
+            {"cls_logits": cl, "mask_logits": ml, "obj_logits": ol},
+            jnp.asarray(gt_masks), jnp.asarray(gt_classes),
+            jnp.asarray(gt_valid), num_classes=C,
+        )
+        return (l["loss_ce"] + l["loss_mask"] + l["loss_dice"]
+                + l["loss_objectness"])
+
+    g_cls, g_mask, g_obj = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(cls_logits), jnp.asarray(mask_logits),
+        jnp.asarray(obj_logits))
+    _assert_grad_close(g_cls, cls_t.grad.numpy(), "sparseinst d/d_cls")
+    _assert_grad_close(g_mask, mask_t.grad.numpy(), "sparseinst d/d_mask")
+    _assert_grad_close(g_obj, obj_t.grad.numpy(), "sparseinst d/d_obj")
+
+
+# ---------------------------------------------------------------------------
+# DETR SetCriterion (softmax + focal): d / d (logits, boxes) — no-grad
+# hungarian matcher
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("use_focal", [False, True])
+def test_detr_criterion_input_grads(use_focal):
+    import torch
+
+    install_stubs()
+    setcrit = ref_module("yolov7.modeling.loss.setcriterion")
+    detr_utils = ref_module("yolov7.utils.detr_utils")
+    from yolov7_d2_tpu.models.meta_arch.detr import detr_set_criterion
+
+    rng = np.random.RandomState(7 if use_focal else 3)
+    B, Q, C = 2, 24, 7
+    gt_counts = (4, 2)
+    logits = rng.randn(B, Q, C + 1).astype(np.float32)
+    pred = 1.0 / (1.0 + np.exp(-rng.randn(B, Q, 4).astype(np.float32)))
+    Gmax = max(gt_counts)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    targets = []
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(0.25, 0.75, size=(g, 2))
+        wh = rng.uniform(0.05, 0.4, size=(g, 2))
+        boxes = np.concatenate([cxcy, wh], -1).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        gt_boxes[b, :g] = boxes
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+        targets.append({"labels": _t(cls.astype(np.int64)),
+                        "boxes": _t(boxes)})
+
+    if use_focal:
+        matcher = detr_utils.HungarianMatcherAnchorDETR(
+            cost_class=1, cost_bbox=5, cost_giou=2)
+        criterion = setcrit.FocalLossSetCriterion(
+            num_classes=C, matcher=matcher, weight_dict={},
+            losses=["labels", "boxes"], focal_alpha=0.25)
+    else:
+        matcher = detr_utils.HungarianMatcher(
+            cost_class=1, cost_bbox=5, cost_giou=2)
+        criterion = setcrit.SetCriterion(
+            num_classes=C, matcher=matcher, weight_dict={}, eos_coef=0.1,
+            losses=["labels", "boxes"])
+
+    logits_t = _t(logits, requires_grad=True)
+    pred_t = _t(pred, requires_grad=True)
+    ref_logits = logits_t[..., :C] if use_focal else logits_t
+    ref_losses = criterion(
+        {"pred_logits": ref_logits, "pred_boxes": pred_t}, targets)
+    total = (ref_losses["loss_ce"] + 5.0 * ref_losses["loss_bbox"]
+             + 2.0 * ref_losses["loss_giou"])
+    total.backward()
+
+    def f(lg, pb):
+        l = detr_set_criterion(
+            lg, pb, jnp.asarray(gt_boxes), jnp.asarray(gt_classes),
+            jnp.asarray(gt_valid), num_classes=C, eos_coef=0.1,
+            use_focal=use_focal)
+        # ours already bakes the meta-arch weights (bbox 5, giou 2)
+        return l["loss_ce"] + l["loss_bbox"] + l["loss_giou"]
+
+    g_logits, g_pred = jax.grad(f, argnums=(0, 1))(
+        jnp.asarray(logits), jnp.asarray(pred))
+    _assert_grad_close(
+        g_logits, logits_t.grad.numpy(), f"detr d/d_logits focal={use_focal}")
+    _assert_grad_close(
+        g_pred, pred_t.grad.numpy(), f"detr d/d_boxes focal={use_focal}")
+
+
+# ---------------------------------------------------------------------------
+# YOLOF: d / d (logits, deltas) — no-grad UniformMatcher, grads flow through
+# apply_deltas into the giou regression term
+# ---------------------------------------------------------------------------
+
+def test_yolof_criterion_input_grads():
+    import torch
+    import torch.nn as nn
+
+    install_stubs()
+    yolof_mod = ref_module("yolov7.modeling.meta_arch.yolof")
+    um = ref_module("yolov7.modeling.head.uniform_matcher")
+    br = ref_module("yolov7.modeling.head.box_regression")
+    from detectron2.structures import Boxes
+
+    from yolov7_d2_tpu.models.meta_arch.yolof import (
+        yolof_anchors, yolof_losses)
+
+    rng = np.random.RandomState(13)
+    gt_counts = (3, 2)
+    B, C = len(gt_counts), 6
+    H = W = 4
+    stride, img = 32, 128
+    anchors_np = yolof_anchors(H, W, stride=stride)
+    A = anchors_np.shape[0]
+    Gmax = max(gt_counts)
+
+    logits = (rng.randn(B, A, C) * 0.5).astype(np.float32)
+    deltas = (rng.randn(B, A, 4) * 0.3).astype(np.float32)
+
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    targets = []
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(24, img - 24, size=(g, 2))
+        wh = rng.uniform(20, 80, size=(g, 2))
+        boxes = np.concatenate(
+            [cxcy - wh / 2, cxcy + wh / 2], -1).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        gt_boxes[b, :g] = boxes
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+        targets.append(SimpleNamespace(
+            gt_boxes=Boxes(_t(boxes)),
+            gt_classes=_t(cls.astype(np.int64))))
+
+    ref = object.__new__(yolof_mod.YOLOF)
+    nn.Module.__init__(ref)
+    ref.num_classes = C
+    ref.focal_loss_alpha = 0.25
+    ref.focal_loss_gamma = 2.0
+    ref.neg_ignore_thresh = 0.7
+    ref.pos_ignore_thresh = 0.15
+    ref.box2box_transform = br.YOLOFBox2BoxTransform(
+        weights=(1.0, 1.0, 1.0, 1.0))
+    ref.matcher = um.UniformMatcher(4)
+
+    logits_t = _t(logits, requires_grad=True)
+    deltas_t = _t(deltas, requires_grad=True)
+    anchors_t = _t(anchors_np)
+    with torch.no_grad():
+        pred_boxes_m = ref.box2box_transform.apply_deltas(
+            deltas_t.detach().reshape(-1, 4),
+            anchors_t[None].repeat(B, 1, 1).reshape(-1, 4),
+        ).reshape(B, A, 4)
+        indices = ref.matcher(
+            pred_boxes_m, anchors_t[None].repeat(B, 1, 1), targets)
+    ref_losses = ref.losses(
+        indices, targets, [[Boxes(anchors_t)] for _ in range(B)],
+        [logits_t], [deltas_t])
+    total = ref_losses["loss_cls"] + ref_losses["loss_box_reg"]
+    total.backward()
+
+    def f(lg, dl):
+        l = yolof_losses(
+            {"logits": lg, "deltas": dl, "anchors": jnp.asarray(anchors_np)},
+            {"gt_boxes": jnp.asarray(gt_boxes),
+             "gt_classes": jnp.asarray(gt_classes),
+             "gt_valid": jnp.asarray(gt_valid)},
+            num_classes=C)
+        return l["total_loss"]
+
+    g_logits, g_deltas = jax.grad(f, argnums=(0, 1))(
+        jnp.asarray(logits), jnp.asarray(deltas))
+    _assert_grad_close(g_logits, logits_t.grad.numpy(), "yolof d/d_logits")
+    _assert_grad_close(g_deltas, deltas_t.grad.numpy(), "yolof d/d_deltas")
+
+
+# ---------------------------------------------------------------------------
+# Full-model per-parameter gradients + 3-step SGD trajectory (YOLOX stack)
+# ---------------------------------------------------------------------------
+
+def _build_torch_yolox(num_classes, depth, width):
+    import torch
+
+    dx = ref_module("yolov7.modeling.backbone.darknetx")
+    pafpn = ref_module("yolov7.modeling.neck.yolo_pafpn")
+    yh = ref_module("yolov7.modeling.head.yolox_head")
+
+    class _TorchYOLOXTrain(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = dx.CSPDarknet(depth, width)
+            self.neck = pafpn.YOLOPAFPN(depth=depth, width=width)
+            self.head = yh.YOLOXHead(num_classes, width=width)
+
+        def forward(self, x, labels):
+            feats = self.backbone(x)
+            fpn_outs = self.neck(feats)
+            return self.head(fpn_outs, labels=labels)
+
+    tm = _TorchYOLOXTrain()
+    # the reference meta-arch reinits EVERY BN to eps=1e-3, momentum=0.03
+    # (yolox.py:82-90 _init_model) — matching our blocks.py BN defaults;
+    # composing backbone/neck/head without this leaves torch BatchNorm2d
+    # defaults (eps 1e-5) and train-mode outputs diverge wildly wherever
+    # batch variance is small
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eps = 1e-3
+            m.momentum = 0.03
+    return tm
+
+
+def _randomize(module, seed=0):
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.empty_like(p).uniform_(-0.1, 0.1, generator=g))
+        for m in module.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def _full_model_scene(seed, steps, B=2, img=64, Gmax=3, C=8):
+    rng = np.random.RandomState(seed)
+    xs, labels, gts = [], [], []
+    for _ in range(steps):
+        xs.append(rng.uniform(0, 255, (B, 3, img, img)).astype(np.float32))
+        lab = np.zeros((B, Gmax, 5), np.float32)
+        gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+        gt_classes = np.zeros((B, Gmax), np.int32)
+        gt_valid = np.zeros((B, Gmax), bool)
+        for b in range(B):
+            g = rng.randint(1, Gmax + 1)
+            cxcy = rng.uniform(12, img - 12, size=(g, 2)).astype(np.float32)
+            wh = rng.uniform(8, 30, size=(g, 2)).astype(np.float32)
+            cls = rng.randint(0, C, size=(g,))
+            lab[b, :g, 0] = cls
+            lab[b, :g, 1:3] = cxcy
+            lab[b, :g, 3:5] = wh
+            gt_boxes[b, :g, 0:2] = cxcy - wh / 2
+            gt_boxes[b, :g, 2:4] = cxcy + wh / 2
+            gt_classes[b, :g] = cls
+            gt_valid[b, :g] = True
+        labels.append(lab)
+        gts.append((gt_boxes, gt_classes, gt_valid))
+    return xs, labels, gts
+
+
+@pytest.fixture(scope="module")
+def yolox_train_pair():
+    """(torch train-mode model, our flax model + ported variables) at
+    width 0.25 / 64 px — small enough for CPU backward in seconds."""
+    install_stubs()
+    from yolov7_d2_tpu.models.meta_arch.yolox import YOLOX
+    from yolov7_d2_tpu.utils.weight_port import port_torch_state_dict
+
+    num_classes, depth, width = 8, 0.33, 0.25
+    tm = _build_torch_yolox(num_classes, depth, width)
+    _randomize(tm)
+    tm.train()
+
+    fm = YOLOX(num_classes=num_classes, depth_mul=depth, width_mul=width)
+    x0 = np.zeros((2, 64, 64, 3), np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+    sd = {k: v.detach().cpu().clone() for k, v in tm.state_dict().items()}
+    ported, report = port_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, variables)
+    assert not report["unused"], report["unused"][:10]
+    return tm, fm, ported, sd
+
+
+def _our_yolox_loss(fm, params, batch_stats, x_nhwc, gt, num_classes=8):
+    from yolov7_d2_tpu.models.heads.yolox_head import yolox_losses
+
+    out, mut = fm.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x_nhwc, train=True, mutable=["batch_stats"])
+    l = yolox_losses(
+        {"outputs": out["outputs"], "grids": out["grids"],
+         "strides": out["strides"]},
+        jnp.asarray(gt[0]), jnp.asarray(gt[1]), jnp.asarray(gt[2]),
+        num_classes=num_classes, use_l1=False, prefilter_topk=None)
+    return l["total_loss"], mut["batch_stats"]
+
+
+def test_yolox_full_model_param_grads(yolox_train_pair):
+    """torch loss.backward() vs jax.grad through the whole weight-ported
+    stack: per-parameter agreement (worst leaf reported on failure)."""
+    import torch
+
+    from yolov7_d2_tpu.utils.weight_port import port_torch_state_dict
+
+    tm, fm, ported, _ = yolox_train_pair
+    xs, labels, gts = _full_model_scene(21, 1)
+    x, lab, gt = xs[0], labels[0], gts[0]
+
+    tm.zero_grad(set_to_none=False)
+    total = tm(_t(x), _t(lab))[0]
+    total.backward()
+    grad_sd = {
+        k: (p.grad if p.grad is not None else torch.zeros_like(p))
+        .detach().numpy()
+        for k, p in tm.named_parameters()
+    }
+
+    def loss_fn(params):
+        return _our_yolox_loss(fm, params, ported["batch_stats"],
+                               jnp.asarray(x.transpose(0, 2, 3, 1)), gt)
+
+    (ours_total, _), g_ours = jax.value_and_grad(
+        loss_fn, has_aux=True)(ported["params"])
+    np.testing.assert_allclose(
+        float(ours_total), float(total.detach()), rtol=5e-4,
+        err_msg="total loss diverged before comparing grads")
+
+    # port the torch grads through the SAME name map as the weights
+    tmpl = {
+        "params": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32), ported["params"]),
+        "batch_stats": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32),
+            ported["batch_stats"]),
+    }
+    gport, report = port_torch_state_dict(grad_sd, tmpl)
+    assert not report["unused"], report["unused"][:10]
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(gport["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(g_ours)[0]
+    assert len(flat_ref) == len(flat_ours)
+    worst = (0.0, "")
+    for (path_r, leaf_r), (path_o, leaf_o) in zip(flat_ref, flat_ours):
+        name = jax.tree_util.keystr(path_o)
+        assert path_r == path_o, (path_r, path_o)
+        ref = np.asarray(leaf_r, np.float64)
+        ours = np.asarray(leaf_o, np.float64)
+        scale = max(float(np.abs(ref).max()), 1e-10)
+        rel = float(np.max(np.abs(ours - ref))) / scale
+        if rel > worst[0]:
+            worst = (rel, name)
+        _assert_grad_close(ours, ref, name, rtol=2e-2, atol_scale=2e-3)
+    # keep the headline number visible in -rA output
+    print(f"worst per-parameter gradient rel-err: {worst[0]:.2e} at {worst[1]}")
+
+
+def test_yolox_sgd_trajectory_3steps(yolox_train_pair):
+    """3 plain-SGD steps, fresh data each step: parameters AND BN running
+    statistics agree afterwards — pins optimizer arithmetic, train-mode BN
+    batch statistics, and the unbiased running-var update."""
+    import torch
+
+    from yolov7_d2_tpu.utils.weight_port import port_torch_state_dict
+
+    tm, fm, ported, sd0 = yolox_train_pair
+    lr, steps = 0.02, 3
+    xs, labels, gts = _full_model_scene(37, steps)
+
+    # start from the PRISTINE ported state: earlier train-mode forwards in
+    # this module updated the torch BN running stats in place
+    tm.load_state_dict(sd0)
+    init = {k: v.numpy().copy() for k, v in sd0.items()}
+
+    opt = torch.optim.SGD(tm.parameters(), lr=lr)
+    for s in range(steps):
+        opt.zero_grad()
+        total = tm(_t(xs[s]), _t(labels[s]))[0]
+        total.backward()
+        opt.step()
+    # .copy() is load-bearing: .numpy() aliases the live parameter
+    # storage, which load_state_dict() below overwrites in place
+    sd_final = {k: v.detach().numpy().copy()
+                for k, v in tm.state_dict().items()}
+    tm.load_state_dict(sd0)   # restore for other tests
+
+    params = jax.tree.map(jnp.asarray, ported["params"])
+    bstats = jax.tree.map(jnp.asarray, ported["batch_stats"])
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p, b, x, gb, gc, gv: _our_yolox_loss(
+            fm, p, b, x, (gb, gc, gv)),
+        has_aux=True))
+    for s in range(steps):
+        (_, new_bs), g = grad_fn(
+            params, bstats, jnp.asarray(xs[s].transpose(0, 2, 3, 1)),
+            jnp.asarray(gts[s][0]), jnp.asarray(gts[s][1]),
+            jnp.asarray(gts[s][2]))
+        params = jax.tree.map(lambda p, gg: p - lr * gg, params, g)
+        bstats = new_bs
+
+    # port the torch endpoint and compare DELTAS (init is shared exactly,
+    # so deltas isolate the training dynamics from the common starting point)
+    tmpl = {
+        "params": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32), ported["params"]),
+        "batch_stats": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32),
+            ported["batch_stats"]),
+    }
+    fport, _ = port_torch_state_dict(sd_final, tmpl)
+    iport, _ = port_torch_state_dict(init, tmpl)
+
+    for coll, ours_tree in (("params", params), ("batch_stats", bstats)):
+        flat_f = jax.tree_util.tree_flatten_with_path(fport[coll])[0]
+        flat_i = jax.tree_util.tree_flatten_with_path(iport[coll])[0]
+        flat_o = jax.tree_util.tree_flatten_with_path(
+            jax.tree.map(np.asarray, ours_tree))[0]
+        # per-step gradient noise (the grad test's ~1e-4 relative floor)
+        # couples ACROSS parameters over multiple steps: a tiny-gradient
+        # leaf's trajectory inherits error at the scale of the largest
+        # updates, not its own
+        global_delta = max(
+            float(np.abs(np.asarray(f, np.float64)
+                         - np.asarray(i, np.float64)).max())
+            for (_, f), (_, i) in zip(flat_f, flat_i)
+        )
+        for (path, ref_f), (_, ref_i), (_, ours_f) in zip(
+                flat_f, flat_i, flat_o):
+            name = f"{coll}{jax.tree_util.keystr(path)}"
+            init = np.asarray(ref_i, np.float64)
+            d_ref = np.asarray(ref_f, np.float64) - init
+            d_ours = np.asarray(ours_f, np.float64) - init
+            # floor the tolerance at fp32 rounding noise on the parameter
+            # itself: BN biases directly upstream of another BN get
+            # near-zero gradients (BN is invariant to input mean shifts),
+            # so their deltas on BOTH sides are pure float noise
+            scale = max(float(np.abs(d_ref).max()), 1e-10)
+            noise = (4e-6 * max(float(np.abs(init).max()), 1e-3)
+                     + 3e-4 * global_delta)
+            np.testing.assert_allclose(
+                d_ours, d_ref, rtol=3e-2, atol=scale * 5e-3 + noise,
+                err_msg=f"trajectory delta mismatch: {name}")

@@ -621,3 +621,182 @@ def test_yolox_kpts_get_losses_parity():
     np.testing.assert_allclose(
         float(ours["total_loss"]), float(ref_total), rtol=RTOL, atol=ATOL,
         err_msg="kpts total")
+
+# ---------------------------------------------------------------------------
+# YOLOv6 ComputeLoss (v6-SimOTA + IOUlossV6 ciou + always-on l1)
+# ---------------------------------------------------------------------------
+
+def test_yolov6_compute_loss_parity(capsys):
+    """ComputeLoss (yolov6_head.py:315): raw per-level [B, 1, H, W, 5+C]
+    outputs, normalized cxcywh targets scaled in-place by the last level's
+    (feat*stride) — the raw-pixel quirk. detached vector = [5*iou, l1,
+    obj, cls] (:530)."""
+    import torch
+
+    install_stubs()
+    ref_mod = ref_module("yolov7.modeling.head.yolov6_head")
+    from yolov7_d2_tpu.models.meta_arch.yolov6 import yolov6_losses
+
+    rng = np.random.RandomState(23)
+    B, C = 2, 7
+    img = 64
+    level_hw = [(8, 8), (4, 4), (2, 2)]
+    strides_l = [8, 16, 32]
+    A = sum(h * w for h, w in level_hw)
+    gt_counts = (3, 2)
+    Gmax = 4
+
+    raw = rng.randn(B, A, 5 + C).astype(np.float32) * 0.5
+
+    grids, stride_v, ref_levels = [], [], []
+    off = 0
+    for (h, w), s in zip(level_hw, strides_l):
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        grids.append(np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32))
+        stride_v.append(np.full((h * w,), s, np.float32))
+        ref_levels.append(
+            _t(raw[:, off:off + h * w].reshape(B, 1, h, w, 5 + C).copy()))
+        off += h * w
+    grids = np.concatenate(grids)
+    stride_v = np.concatenate(stride_v)
+
+    targets = np.zeros((B, Gmax, 5), np.float32)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(12, img - 12, size=(g, 2)).astype(np.float32)
+        wh = rng.uniform(8, 30, size=(g, 2)).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        targets[b, :g, 0] = cls
+        targets[b, :g, 1:3] = cxcy / img      # normalized, the ref scales back
+        targets[b, :g, 3:5] = wh / img
+        gt_boxes[b, :g, 0:2] = cxcy - wh / 2
+        gt_boxes[b, :g, 2:4] = cxcy + wh / 2
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+
+    cl = ref_mod.ComputeLoss(iou_type="ciou")
+    with torch.no_grad():
+        ref_total, ref_detached = cl(ref_levels, _t(targets))
+    capsys.readouterr()   # the reference prints targets (debug residue)
+    ref_iou, ref_l1, ref_obj, ref_cls = [float(v) for v in ref_detached]
+
+    ours = yolov6_losses(
+        {"outputs": jnp.asarray(raw), "grids": jnp.asarray(grids),
+         "strides": jnp.asarray(stride_v)},
+        {"gt_boxes": jnp.asarray(gt_boxes),
+         "gt_classes": jnp.asarray(gt_classes),
+         "gt_valid": jnp.asarray(gt_valid)},
+        num_classes=C,
+    )
+
+    np.testing.assert_allclose(
+        float(ours["loss_iou"]), ref_iou, rtol=RTOL, atol=ATOL,
+        err_msg="v6 loss_iou (x5)")
+    np.testing.assert_allclose(
+        float(ours["loss_l1"]), ref_l1, rtol=RTOL, atol=ATOL,
+        err_msg="v6 loss_l1")
+    np.testing.assert_allclose(
+        float(ours["loss_obj"]), ref_obj, rtol=RTOL, atol=ATOL,
+        err_msg="v6 loss_obj")
+    np.testing.assert_allclose(
+        float(ours["loss_cls"]), ref_cls, rtol=RTOL, atol=ATOL,
+        err_msg="v6 loss_cls")
+    np.testing.assert_allclose(
+        float(ours["total_loss"]), float(ref_total), rtol=RTOL, atol=ATOL,
+        err_msg="v6 total")
+
+# ---------------------------------------------------------------------------
+# SOLOv2: GT grid assignment (mass centers) + dice/focal losses
+# ---------------------------------------------------------------------------
+
+def test_solov2_loss_parity():
+    """get_ground_truth (solov2.py:225, mass centers + sigma center regions
+    + the cv2-uint8 mask rescale quirk) -> loss (:342, dice pair-mean *3 +
+    focal sum / (num_ins + 1)) against the reference's own torch code."""
+    import torch
+    import torch.nn as nn
+
+    install_stubs()
+    solov2_mod = ref_module("yolov7.modeling.meta_arch.solov2")
+    from detectron2.structures import Boxes
+
+    from yolov7_d2_tpu.models.meta_arch.solov2 import solov2_losses
+
+    rng = np.random.RandomState(31)
+    gt_counts = (3, 2)
+    B, C, E = len(gt_counts), 5, 8
+    H = W = 128
+    Hm, Wm = 32, 32
+    num_grids = (40, 36, 24, 16, 12)
+    Gmax = max(gt_counts)
+
+    gt_masks = np.zeros((B, Gmax, H, W), np.float32)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    gt_instances = []
+    for b, g in enumerate(gt_counts):
+        m = _soft_blob_masks(rng, g, H, W)
+        cls = rng.randint(0, C, size=(g,))
+        boxes = np.zeros((g, 4), np.float32)
+        for i in range(g):
+            ys, xs = np.nonzero(m[i])
+            boxes[i] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+        gt_masks[b, :g] = m
+        gt_boxes[b, :g] = boxes
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+        gt_instances.append(SimpleNamespace(
+            gt_boxes=Boxes(_t(boxes)),
+            gt_classes=_t(cls.astype(np.int64)),
+            gt_masks=SimpleNamespace(
+                tensor=_t(m.astype(np.uint8))),
+        ))
+
+    cate_preds = [rng.randn(B, C, s, s).astype(np.float32)
+                  for s in num_grids]
+    kernel_preds = [rng.randn(B, E, s, s).astype(np.float32) * 0.2
+                    for s in num_grids]
+    ins_pred = rng.randn(B, E, Hm, Wm).astype(np.float32)
+
+    ref = object.__new__(solov2_mod.SOLOv2)
+    nn.Module.__init__(ref)
+    ref.scale_ranges = ((1, 96), (48, 192), (96, 384), (192, 768),
+                        (384, 2048))
+    ref.strides = [8, 8, 16, 32, 32]
+    ref.num_grids = list(num_grids)
+    ref.sigma = 0.2
+    ref.num_classes = C
+    ref.ins_loss_weight = 3.0
+    ref.focal_loss_weight = 1.0
+    ref.focal_loss_gamma = 2.0
+    ref.focal_loss_alpha = 0.25
+
+    with torch.no_grad():
+        targets = ref.get_ground_truth(gt_instances, mask_feat_size=(Hm, Wm))
+        ref_losses = ref.loss(
+            [_t(c) for c in cate_preds],
+            [_t(k) for k in kernel_preds],
+            _t(ins_pred), targets)
+
+    ours = solov2_losses(
+        {
+            "mask_feats": jnp.asarray(ins_pred.transpose(0, 2, 3, 1)),
+            "cate_preds": [jnp.asarray(c.transpose(0, 2, 3, 1))
+                           for c in cate_preds],
+            "kernel_preds": [jnp.asarray(k.transpose(0, 2, 3, 1))
+                             for k in kernel_preds],
+        },
+        jnp.asarray(gt_masks), jnp.asarray(gt_boxes),
+        jnp.asarray(gt_classes), jnp.asarray(gt_valid),
+        input_hw=(H, W), num_classes=C, num_grids=num_grids,
+    )
+
+    np.testing.assert_allclose(
+        float(ours["loss_mask"]), float(ref_losses["loss_ins"]),
+        rtol=RTOL, atol=ATOL, err_msg="solov2 loss_ins (dice x3)")
+    np.testing.assert_allclose(
+        float(ours["loss_cate"]), float(ref_losses["loss_cate"]),
+        rtol=RTOL, atol=ATOL, err_msg="solov2 loss_cate")

@@ -27,6 +27,7 @@ from flax import linen as nn
 from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
 from yolov7_d2_tpu.models.backbones.resnet import ConvBN
 from yolov7_d2_tpu.ops.deform_conv import DeformConv
+from ..layers.norm import BatchNorm
 
 # num_layers -> (levels, channels, block) (reference dla.py DLA_CONFIGS:363)
 DLA_SPECS = {
@@ -53,7 +54,7 @@ class BasicBlock(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn1")(y)
         y = nn.relu(y)
@@ -62,7 +63,7 @@ class BasicBlock(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn2")(y)
         return nn.relu(y + residual).astype(self.dtype)
@@ -90,7 +91,7 @@ class BottleneckBlock(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn2")(y)
         y = nn.relu(y)
@@ -270,7 +271,7 @@ class DeformConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         x = DeformConv(self.channels, 3, modulated=True, dtype=self.dtype,
                        name="dcn")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(x)
         return nn.relu(x).astype(self.dtype)

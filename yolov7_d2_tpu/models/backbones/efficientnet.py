@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
+from ..layers.norm import BatchNorm
 
 # width_mult, depth_mult per variant
 EFFNET_SCALING = {
@@ -67,7 +68,7 @@ class MBConv(nn.Module):
                         feature_group_count=g, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"{name}_conv")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            y = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=jnp.float32,
                              name=f"{name}_bn")(y)
             return y.astype(self.dtype)
@@ -112,7 +113,7 @@ class EfficientNet(nn.Module):
         x = nn.Conv(stem, (3, 3), (2, 2), padding=[pad, pad],
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32, name="stem_bn")(x)
         x = nn.silu(x).astype(self.dtype)
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
+from ..layers.norm import BatchNorm
 
 
 def _apply_act(x, act) -> jnp.ndarray:
@@ -49,7 +50,7 @@ class ConvBNAct(nn.Module):
                     (stride, stride), padding=[(p, p), (p, p)],
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         return _apply_act(x, self.act).astype(self.dtype)
 

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
+from ..layers.norm import BatchNorm
 
 # (depths, widths, group_width) per stage — standard published configs
 REGNET_SPECS: Dict[str, Tuple[Tuple[int, ...], Tuple[int, ...], int]] = {
@@ -56,7 +57,7 @@ class RegNetBlock(nn.Module):
                         feature_group_count=g, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"{name}_conv")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
                              name=f"{name}_bn")(y)
             return (nn.relu(y) if act else y).astype(self.dtype)
@@ -83,7 +84,7 @@ class RegNet(nn.Module):
         x = nn.Conv(32, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="stem_bn")(x)
         x = nn.relu(x).astype(self.dtype)
         outputs: Dict[str, jnp.ndarray] = {}

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov7_d2_tpu.core.registry import BACKBONE_REGISTRY
+from ..layers.norm import BatchNorm
 
 BN_EPS = 1e-5
 
@@ -39,7 +40,7 @@ class ConvBN(nn.Module):
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=(not train) or self.frozen_bn,
             momentum=0.9, epsilon=BN_EPS, dtype=jnp.float32, name="bn",
         )(x)
@@ -67,7 +68,7 @@ class Bottleneck(nn.Module):
             from yolov7_d2_tpu.ops.deform_conv import DeformConv
 
             y = DeformConv(mid, dtype=self.dtype, name="conv2_dcn")(y)
-            y = nn.BatchNorm(
+            y = BatchNorm(
                 use_running_average=(not train) or self.frozen_bn,
                 momentum=0.9, epsilon=BN_EPS, dtype=jnp.float32,
                 name="conv2_bn",

@@ -19,6 +19,7 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from .norm import BatchNorm
 
 BN_MOMENTUM = 0.97  # = 1 - torch 0.03
 BN_EPS = 1e-3
@@ -75,7 +76,7 @@ class BaseConv(nn.Module):
         # conv->bn->silu chain one bf16 HBM pass instead of upcasting the
         # activation tensor to f32 and back (the dominant elementwise cost
         # in the train-step trace, docs/traces/).
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=self.bn_eps,
@@ -289,7 +290,7 @@ class _FoldedFocusCBS(nn.Module):
         x = _FoldedFocusConv(
             self.out_channels, self.ksize, dtype=self.dtype, name="conv"
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -364,7 +365,7 @@ class RepVGGBlock(nn.Module):
             padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
             param_dtype=jnp.float32, name="rbr_dense_conv",
         )(x)
-        y = nn.BatchNorm(
+        y = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=self.bn_eps, dtype=jnp.float32, name="rbr_dense_bn",
         )(y)
@@ -373,13 +374,13 @@ class RepVGGBlock(nn.Module):
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name="rbr_1x1_conv",
         )(x)
-        z = nn.BatchNorm(
+        z = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=self.bn_eps, dtype=jnp.float32, name="rbr_1x1_bn",
         )(z)
         out = y + z
         if self.stride == 1 and in_ch == self.out_channels:
-            idt = nn.BatchNorm(
+            idt = BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 epsilon=self.bn_eps, dtype=jnp.float32, name="rbr_identity_bn",
             )(x)

@@ -199,32 +199,40 @@ def _level_targets(
     gt_boxes: jnp.ndarray,    # [G, 4] xyxy input pixels
     gt_classes: jnp.ndarray,
     gt_valid: jnp.ndarray,
+    gt_centers: jnp.ndarray,  # [G, 2] (cx, cy) MASS centers, input pixels
+    mask_valid: jnp.ndarray,  # [G] mask has any foreground
     sigma: float = 0.2,
 ):
-    """Static targets for one level: cate map [S,S], and up to G*9 positive
-    (cell, gt) pairs from the 3x3 center-region neighborhood."""
+    """Static targets for one level (get_ground_truth_single, solov2.py:238).
+
+    Reference semantics kept exactly: the grid cell is chosen from the
+    mask's MASS center (center_of_mass, utils/solov2_utils.py:128), the
+    center region is mass-center +- sigma * box half-extents clipped to
+    the 3x3 neighborhood of the center cell (:305-318), empty masks are
+    skipped (:297 valid_mask_flag), and overlapping regions resolve
+    last-gt-wins (sequential cate_label writes, :320)."""
     h, w = input_hw
     gw = gt_boxes[:, 2] - gt_boxes[:, 0]
     gh = gt_boxes[:, 3] - gt_boxes[:, 1]
     scale = jnp.sqrt(jnp.clip(gw * gh, min=0.0))
     in_range = (
-        (scale >= scale_range[0]) & (scale <= scale_range[1]) & gt_valid
+        (scale >= scale_range[0]) & (scale <= scale_range[1])
+        & gt_valid & mask_valid
     )
-    cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5 / w * grid
-    cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5 / h * grid
-    half_w = jnp.clip(gw * sigma * 0.5 / w * grid, min=0.0)
-    half_h = jnp.clip(gh * sigma * 0.5 / h * grid, min=0.0)
-    left = jnp.clip(jnp.floor(cx - half_w), 0, grid - 1).astype(jnp.int32)
-    right = jnp.clip(jnp.floor(cx + half_w), 0, grid - 1).astype(jnp.int32)
-    top = jnp.clip(jnp.floor(cy - half_h), 0, grid - 1).astype(jnp.int32)
-    down = jnp.clip(jnp.floor(cy + half_h), 0, grid - 1).astype(jnp.int32)
-    ccx = jnp.clip(jnp.floor(cx), 0, grid - 1).astype(jnp.int32)
-    ccy = jnp.clip(jnp.floor(cy), 0, grid - 1).astype(jnp.int32)
-    # the center region clipped to the 3x3 neighborhood of the center cell
-    left = jnp.maximum(left, ccx - 1)
-    right = jnp.minimum(right, ccx + 1)
-    top = jnp.maximum(top, ccy - 1)
-    down = jnp.minimum(down, ccy + 1)
+    cx, cy = gt_centers[:, 0], gt_centers[:, 1]
+    half_w = 0.5 * gw * sigma
+    half_h = 0.5 * gh * sigma
+
+    # reference coordinate quantization: int((v / size) // (1. / grid))
+    def _q(v, size):
+        return jnp.floor((v / size) / (1.0 / grid)).astype(jnp.int32)
+
+    ccx = _q(cx, w)
+    ccy = _q(cy, h)
+    top = jnp.maximum(jnp.maximum(0, _q(cy - half_h, h)), ccy - 1)
+    down = jnp.minimum(jnp.minimum(grid - 1, _q(cy + half_h, h)), ccy + 1)
+    left = jnp.maximum(jnp.maximum(0, _q(cx - half_w, w)), ccx - 1)
+    right = jnp.minimum(jnp.minimum(grid - 1, _q(cx + half_w, w)), ccx + 1)
 
     G = gt_boxes.shape[0]
     offs = jnp.array([-1, 0, 1])
@@ -239,10 +247,15 @@ def _level_targets(
     flat = cand_y * grid + cand_x                      # [G, 9]
     S2 = grid * grid
     flat = jnp.where(ok, flat, S2)
-    cate = jnp.zeros((S2 + 1,), jnp.int32).at[flat.reshape(-1)].max(
-        jnp.broadcast_to((gt_classes + 1)[:, None], (G, 9)).reshape(-1),
+    # last-write-wins over gt order == max gt index among writers
+    winner = jnp.zeros((S2 + 1,), jnp.int32).at[flat.reshape(-1)].max(
+        jnp.broadcast_to(
+            jnp.arange(1, G + 1, dtype=jnp.int32)[:, None], (G, 9)
+        ).reshape(-1),
         mode="drop",
     )[:S2]
+    cate = jnp.where(
+        winner > 0, gt_classes[jnp.maximum(winner - 1, 0)] + 1, 0)
     return {
         "cate_target": cate.reshape(grid, grid),       # 0 = bg, c+1 = class
         "pos_cell": flat.reshape(-1),                  # [G*9] (S2 = invalid)
@@ -268,21 +281,43 @@ def solov2_losses(
     mask_feats = out["mask_feats"]                      # [B, Hm, Wm, E]
     b, hm, wm, e = mask_feats.shape
     g = gt_masks.shape[1]
-    gt_small = (
-        jax.image.resize(
-            gt_masks.astype(jnp.float32), (b, g, hm, wm), "bilinear"
-        ) > 0.5
-    ).astype(jnp.float32)
+    # reference mask target (get_ground_truth_single:291-295): imrescale
+    # to 1/output_stride with cv2 INTER_LINEAR on uint8 — for a binary
+    # mask at exact 1/4 scale that is "value 1 iff >= 2 of the 2x2 taps
+    # at offset (1,1) of each 4x4 block are 1" (cv2's fixed-point
+    # round-half-up of the 4-tap average; verified against cv2 in
+    # tests/test_torch_parity_losses.py)
+    gm = gt_masks[:, :, : 4 * hm, : 4 * wm]
+    taps = (
+        gm[..., 1::4, 1::4] + gm[..., 1::4, 2::4]
+        + gm[..., 2::4, 1::4] + gm[..., 2::4, 2::4]
+    )
+    gt_small = (taps >= 2).astype(jnp.float32)          # [B, G, Hm, Wm]
 
-    total_pos = 0.0
+    # mass centers + empty-mask flags at the gt mask's own resolution
+    # (center_of_mass, utils/solov2_utils.py:128)
+    gmf = gt_masks.astype(jnp.float32)
+    m00 = jnp.clip(jnp.sum(gmf, axis=(-2, -1)), min=1e-6)
+    ys = jnp.arange(gt_masks.shape[2], dtype=jnp.float32)
+    xs = jnp.arange(gt_masks.shape[3], dtype=jnp.float32)
+    cx = jnp.sum(gmf * xs, axis=(-2, -1)) / m00
+    cy = jnp.sum(gmf * ys[:, None], axis=(-2, -1)) / m00
+    centers = jnp.stack([cx, cy], axis=-1)              # [B, G, 2]
+    mask_valid = jnp.sum(gmf, axis=(-2, -1)) > 0
+
+    # reference upsampled_size = mask_feat_size * 4 (:303)
+    up_hw = (4 * hm, 4 * wm)
+
+    total_pos = 0.0                       # positive CELLS (ins_ind flags)
     loss_cate_terms = []
     loss_dice_sum = 0.0
+    pair_count = 0.0                      # dice samples = (gt, cell) pairs
     for lvl, grid in enumerate(num_grids):
         t = jax.vmap(
-            lambda gb, gc, gv: _level_targets(
-                grid, SCALE_RANGES[lvl], input_hw, gb, gc, gv
+            lambda gb, gc, gv, ce, mv: _level_targets(
+                grid, SCALE_RANGES[lvl], up_hw, gb, gc, gv, ce, mv
             )
-        )(gt_boxes, gt_classes, gt_valid)
+        )(gt_boxes, gt_classes, gt_valid, centers, mask_valid)
         cate_pred = out["cate_preds"][lvl]              # [B, S, S, C]
         onehot = jax.nn.one_hot(
             t["cate_target"] - 1, num_classes
@@ -290,8 +325,8 @@ def solov2_losses(
         loss_cate_terms.append(
             jnp.sum(sigmoid_focal_loss(cate_pred, onehot))
         )
-        npos_lvl = jnp.sum((t["cate_target"] > 0).astype(jnp.float32))
-        total_pos = total_pos + npos_lvl
+        total_pos = total_pos + jnp.sum(
+            (t["cate_target"] > 0).astype(jnp.float32))
 
         # gather kernels for candidate cells, predict masks, dice vs gt
         kernels = out["kernel_preds"][lvl].reshape(b, grid * grid, e)
@@ -304,16 +339,21 @@ def solov2_losses(
             gt_small, t["pos_gt"][..., None, None], axis=1
         )
         okf = t["pos_ok"].astype(jnp.float32)
-        d = dice_loss(
-            pred_masks.reshape(b, -1, hm * wm),
-            tgt.reshape(b, -1, hm * wm),
-            smooth=1.0,
-        )
+        # reference dice (loss/loss.py:7): 1 - 2a / (sum(p^2)+1e-3 +
+        # sum(t^2)+1e-3), then a global MEAN over every (gt, cell) pair
+        # across levels and images (solov2.py:385-393)
+        p2 = pred_masks.reshape(b, -1, hm * wm)
+        t2 = tgt.reshape(b, -1, hm * wm)
+        a = jnp.sum(p2 * t2, -1)
+        den = jnp.sum(p2 * p2, -1) + 0.001 + jnp.sum(t2 * t2, -1) + 0.001
+        d = 1.0 - 2.0 * a / den
         loss_dice_sum = loss_dice_sum + jnp.sum(d * okf)
+        pair_count = pair_count + jnp.sum(okf)
 
-    num_pos = jnp.maximum(total_pos, 1.0)
-    loss_cate = focal_weight * sum(loss_cate_terms) / num_pos
-    loss_mask = dice_weight * loss_dice_sum / num_pos
+    num_pos = total_pos
+    # cate normalizer is num_ins + 1 (solov2.py:418), NOT max(num_ins, 1)
+    loss_cate = focal_weight * sum(loss_cate_terms) / (num_pos + 1.0)
+    loss_mask = dice_weight * loss_dice_sum / jnp.maximum(pair_count, 1.0)
     return {
         "loss_cate": loss_cate,
         "loss_mask": loss_mask,

@@ -24,6 +24,7 @@ from yolov7_d2_tpu.models.backbones.resnet import ResNet
 from yolov7_d2_tpu.ops.iou import iou_loss, pairwise_box_iou
 from yolov7_d2_tpu.ops.losses import sigmoid_focal_loss
 from yolov7_d2_tpu.structures.boxes import cxcywh_to_xyxy, xyxy_to_cxcywh
+from ..layers.norm import BatchNorm
 
 
 class DilatedEncoder(nn.Module):
@@ -43,7 +44,7 @@ class DilatedEncoder(nn.Module):
                         kernel_dilation=(d, d), use_bias=True,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"{name}_conv")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
                              name=f"{name}_bn")(y)
             return y.astype(self.dtype)
@@ -71,7 +72,7 @@ class YOLOFDecoder(nn.Module):
             y = nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"{name}_conv")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
                              name=f"{name}_bn")(y)
             return nn.relu(y).astype(self.dtype)

@@ -98,8 +98,21 @@ def yolov6_losses(
     head_out: Dict[str, jnp.ndarray],
     batch: Dict[str, jnp.ndarray],
     num_classes: int,
+    iou_type: str = "ciou",
+    reg_weight: float = 5.0,
 ) -> Dict[str, jnp.ndarray]:
-    """SimOTA assignment + SIoU regression (ComputeLoss:315)."""
+    """v6 ComputeLoss (yolov6_head.py:315-531): SimOTA assignment (same
+    dynamic-k machinery as YOLOX — cls_weight 1, iou_weight 3, the same
+    geometric prior) + IOUlossV6 regression with the head's ``ciou``
+    default (``YOLOv6Head.__init__`` passes iou_type='ciou',
+    yolov6_head.py:301), ``reg_weight`` 5.0, and an ALWAYS-ON l1 term on
+    the raw (undecoded) reg outputs (:513-516 — unlike YOLOX this is not
+    gated behind use_l1). total = 5*iou + l1 + obj + cls, each summed and
+    divided by the batch foreground count (:509-526).
+
+    Differential: tests/test_torch_parity_losses.py drives the
+    reference's own ComputeLoss on the same scenes.
+    """
     outputs = head_out["outputs"]
     grids, strides = head_out["grids"], head_out["strides"]
     boxes_cxcywh, obj_logits, cls_logits = decode_outputs(outputs, grids, strides)
@@ -121,7 +134,19 @@ def yolov6_losses(
     )
     pred_xyxy = cxcywh_to_xyxy(boxes_cxcywh)
     loss_iou = jnp.sum(
-        iou_loss(pred_xyxy, tgt_boxes, loss_type="siou") * fg_f
+        iou_loss(pred_xyxy, tgt_boxes, loss_type=iou_type) * fg_f
+    ) / num_fg
+    # l1 on the raw head outputs vs get_l1_target (:594-598): cxcy/stride
+    # - grid, log(wh/stride + 1e-8) — always on in v6's ComputeLoss
+    tgt_cxcywh = jnp.concatenate(
+        [(tgt_boxes[..., 0:2] + tgt_boxes[..., 2:4]) / 2,
+         tgt_boxes[..., 2:4] - tgt_boxes[..., 0:2]], axis=-1)
+    s = strides[None, :, None]
+    l1_t = jnp.concatenate(
+        [tgt_cxcywh[..., 0:2] / s - grids[None],
+         jnp.log(tgt_cxcywh[..., 2:4] / s + 1e-8)], axis=-1)
+    loss_l1 = jnp.sum(
+        jnp.abs(outputs[..., 0:4] - l1_t) * fg_f[..., None]
     ) / num_fg
     loss_obj = jnp.sum(sigmoid_binary_cross_entropy(obj_logits, fg_f)) / num_fg
     cls_t = (
@@ -132,13 +157,15 @@ def yolov6_losses(
         sigmoid_binary_cross_entropy(cls_logits, cls_t) * fg_f[..., None]
     ) / num_fg
     losses = {
-        "loss_iou": 2.5 * loss_iou,
+        "loss_iou": reg_weight * loss_iou,
+        "loss_l1": loss_l1,
         "loss_obj": loss_obj,
         "loss_cls": loss_cls,
         "num_fg": num_fg,
     }
     losses["total_loss"] = (
-        losses["loss_iou"] + losses["loss_obj"] + losses["loss_cls"]
+        losses["loss_iou"] + losses["loss_l1"] + losses["loss_obj"]
+        + losses["loss_cls"]
     )
     return losses
 

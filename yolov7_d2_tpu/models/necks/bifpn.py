@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov7_d2_tpu.core.registry import NECK_REGISTRY
+from ..layers.norm import BatchNorm
 
 # get_fpn_config(base_reduction=8): per-node (reduction, inputs_offsets)
 # into the running feature list [P3 P4 P5 P6 P7, node5.. ].
@@ -71,28 +72,30 @@ class BiFPN(nn.Module):
     separable_conv: bool = False
     dtype: Any = jnp.float32
 
-    def _norm_layer(self, name: str):
+    def _norm_layer(self, name: str, train: bool = False):
         if self.norm == "GN":
             return nn.GroupNorm(num_groups=32, epsilon=1e-5,
                                 dtype=jnp.float32, name=name)
         if self.norm in ("BN", "SyncBN"):
-            return nn.BatchNorm(use_running_average=True, momentum=0.9,
-                                epsilon=1e-5, dtype=jnp.float32, name=name)
+            return BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name=name)
         return None
 
-    def _conv_norm(self, x, channels: int, kernel: int, name: str):
+    def _conv_norm(self, x, channels: int, kernel: int, name: str,
+                   train: bool = False):
         """ConvBnAct2d with act_layer=None: conv (bias iff norm=='') +
         optional norm. padding = kernel // 2 (reference Conv2d)."""
         p = kernel // 2
         x = nn.Conv(channels, (kernel, kernel), padding=[(p, p), (p, p)],
                     use_bias=(self.norm == ""), dtype=self.dtype,
                     param_dtype=jnp.float32, name=f"{name}_conv")(x)
-        norm = self._norm_layer(f"{name}_bn")
+        norm = self._norm_layer(f"{name}_bn", train)
         if norm is not None:
             x = norm(x)
         return x.astype(self.dtype)
 
-    def _sep_conv_norm(self, x, channels: int, name: str):
+    def _sep_conv_norm(self, x, channels: int, name: str,
+                       train: bool = False):
         """SeparableConv2d, act_layer=None: depthwise 3x3 (never biased
         in the after-combine path) + pointwise 1x1 (bias iff norm=='')
         + optional norm."""
@@ -103,17 +106,18 @@ class BiFPN(nn.Module):
         x = nn.Conv(channels, (1, 1), use_bias=(self.norm == ""),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name=f"{name}_pw")(x)
-        norm = self._norm_layer(f"{name}_bn")
+        norm = self._norm_layer(f"{name}_bn", train)
         if norm is not None:
             x = norm(x)
         return x.astype(self.dtype)
 
-    def _resample(self, x, in_chs: int, ratio: float, name: str):
+    def _resample(self, x, in_chs: int, ratio: float, name: str,
+                  train: bool = False):
         """ResampleFeatureMap with apply_bn_for_resampling=True,
         conv_after_downsample=False: optional 1x1 conv+norm, then k=s
         maxpool (ratio>1) or nearest upsample (ratio<1)."""
         if in_chs != self.out_channels:
-            x = self._conv_norm(x, self.out_channels, 1, name)
+            x = self._conv_norm(x, self.out_channels, 1, name, train)
         if ratio > 1:
             x = _maxpool(x, int(ratio))
         elif ratio < 1:
@@ -122,7 +126,6 @@ class BiFPN(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        del train  # GN default; BN uses running stats (eval semantics)
         feats = list(feats)
         # reductions relative to the finest tap = base_reduction 8
         reds: List[int] = [8 * (1 << i) for i in range(len(feats))]
@@ -134,7 +137,8 @@ class BiFPN(nn.Module):
         in_chs = chs[-1]
         for level in range(len(feats), self.num_levels):
             x.append(self._resample(x[-1], in_chs, 2.0,
-                                    name=f"resample_{level}"))
+                                    name=f"resample_{level}",
+                                    train=train))
             in_chs = self.out_channels
             reds.append(reds[-1] * 2)
             chs.append(self.out_channels)
@@ -146,7 +150,7 @@ class BiFPN(nn.Module):
                 for off in offsets:
                     nodes.append(self._resample(
                         x[off], chs[off], target_red / reds[off],
-                        name=f"{base}_res{off}",
+                        name=f"{base}_res{off}", train=train,
                     ))
                 # fastattn: relu weights, shared normalizer eps 1e-4
                 w = self.param(f"{base}_edge", nn.initializers.ones,
@@ -158,10 +162,11 @@ class BiFPN(nn.Module):
                 y = _swish(combined)
                 if self.separable_conv:
                     y = self._sep_conv_norm(y, self.out_channels,
-                                            name=f"{base}_conv")
+                                            name=f"{base}_conv",
+                                            train=train)
                 else:
                     y = self._conv_norm(y, self.out_channels, 3,
-                                        name=f"{base}_conv")
+                                        name=f"{base}_conv", train=train)
                 x.append(y)
                 reds.append(target_red)
                 chs.append(self.out_channels)
