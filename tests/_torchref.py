@@ -73,8 +73,43 @@ def install_stubs() -> None:
     _stub("alfred.dl.metrics")
     _aml = _stub("alfred.dl.metrics.iou_loss")
     _aml.bboxes_iou = None      # import-time only (yolov7.py aliases it)
-    _aml.ciou_loss = None
-    _aml.ciou = None
+
+    def _alfred_ciou(p, t, sum=False):
+        """Standard CIoU LOSS (1 - ciou) on cxcywh boxes — the alfred
+        package itself is not installed; this transcribes the published
+        CIoU formula (Zheng et al. 2019) that alfred's helper computes,
+        so OrienMaskYOLOLoss (yolomask.py:605-620) can run. The jax side
+        implements the identical formula
+        (models/meta_arch/yolomask.py:_ciou_loss_cxcywh), making the box
+        term formula-pinned rather than a true third-party differential."""
+        eps = 1e-9
+        px1, py1 = p[..., 0] - p[..., 2] / 2, p[..., 1] - p[..., 3] / 2
+        px2, py2 = p[..., 0] + p[..., 2] / 2, p[..., 1] + p[..., 3] / 2
+        tx1, ty1 = t[..., 0] - t[..., 2] / 2, t[..., 1] - t[..., 3] / 2
+        tx2, ty2 = t[..., 0] + t[..., 2] / 2, t[..., 1] + t[..., 3] / 2
+        iw = (torch.min(px2, tx2) - torch.max(px1, tx1)).clamp(min=0)
+        ih = (torch.min(py2, ty2) - torch.max(py1, ty1)).clamp(min=0)
+        inter = iw * ih
+        union = p[..., 2] * p[..., 3] + t[..., 2] * t[..., 3] - inter
+        iou = inter / (union + eps)
+        cw = torch.max(px2, tx2) - torch.min(px1, tx1)
+        ch = torch.max(py2, ty2) - torch.min(py1, ty1)
+        c2 = cw * cw + ch * ch + eps
+        rho2 = ((t[..., 0] - p[..., 0]) ** 2
+                + (t[..., 1] - p[..., 1]) ** 2)
+        import math as _math
+
+        v = (4.0 / _math.pi ** 2) * (
+            torch.atan(t[..., 2] / (t[..., 3] + eps))
+            - torch.atan(p[..., 2] / (p[..., 3] + eps))
+        ) ** 2
+        with torch.no_grad():
+            alpha = v / (1.0 - iou + v + eps)
+        loss = 1.0 - (iou - rho2 / c2 - alpha * v)
+        return loss.sum() if sum else loss
+
+    _aml.ciou = _alfred_ciou
+    _aml.ciou_loss = _alfred_ciou
     _stub("alfred.vis")
     _stub("alfred.vis.image")
     _avd = _stub("alfred.vis.image.det")

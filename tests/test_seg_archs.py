@@ -53,7 +53,8 @@ def test_yolomask_forward_and_orien():
     imgs = jnp.zeros((1, S, S, 3))
     v = model.init(jax.random.PRNGKey(0), imgs, train=False)
     out = model.apply(v, imgs, train=False)
-    assert out["orien"].shape == (1, S // 4, S // 4, 2)
+    # per-scale, per-anchor offset fields (reference orien_dim = L*na*2)
+    assert out["orien"].shape == (1, S // 4, S // 4, 3, 3, 2)
     assert "outputs" in out  # detector flat outputs present
 
 

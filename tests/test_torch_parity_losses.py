@@ -800,3 +800,214 @@ def test_solov2_loss_parity():
     np.testing.assert_allclose(
         float(ours["loss_cate"]), float(ref_losses["loss_cate"]),
         rtol=RTOL, atol=ATOL, err_msg="solov2 loss_cate")
+
+# ---------------------------------------------------------------------------
+# Per-arch DETR criterion COPIES (SMCA / DAB / AnchorDETR) + HungarianMatcherD2go
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("arch", ["smca", "dab", "anchor"])
+def test_detr_per_arch_criterion_copy_parity(arch):
+    """The reference carries near-identical SetCriterion copies inside
+    smca_detr.py:520 (focal labels, sum/num_boxes, HungarianMatcherSMCA),
+    dab_detr.py:535 (softmax CE + eos_coef, base HungarianMatcher) and
+    anchor_detr.py:547 (deformable-style focal x num_queries). Our single
+    unified criterion must reproduce each copy, driven here with each
+    arch's own matcher."""
+    import torch
+
+    install_stubs()
+    detr_utils = ref_module("yolov7.utils.detr_utils")
+    from yolov7_d2_tpu.models.meta_arch.detr import detr_set_criterion
+
+    rng = np.random.RandomState({"smca": 41, "dab": 43, "anchor": 47}[arch])
+    B, Q, C = 2, 20, 6
+    gt_counts = (3, 2)
+    logits, pred, gt_boxes, gt_classes, gt_valid, targets = (
+        _random_detr_scene(rng, B, Q, C, gt_counts))
+
+    if arch == "smca":
+        mod = ref_module("yolov7.modeling.meta_arch.smca_detr")
+        # smca_detr.py:125 builds its matcher with cost_class=1; the
+        # loss_ce weight of 2 lives in weight_dict, outside the criterion
+        matcher = detr_utils.HungarianMatcherSMCA(
+            cost_class=1, cost_bbox=5, cost_giou=2)
+        criterion = mod.SetCriterion(
+            num_classes=C, matcher=matcher, weight_dict={}, eos_coef=0.1,
+            losses=["labels", "boxes"])
+        ref_logits, use_focal = logits[..., :C], True
+    elif arch == "anchor":
+        mod = ref_module("yolov7.modeling.meta_arch.anchor_detr")
+        matcher = detr_utils.HungarianMatcherAnchorDETR(
+            cost_class=2, cost_bbox=5, cost_giou=2)
+        criterion = mod.SetCriterion(
+            num_classes=C, matcher=matcher, weight_dict={},
+            losses=["labels", "boxes"], focal_alpha=0.25)
+        ref_logits, use_focal = logits[..., :C], True
+    else:
+        mod = ref_module("yolov7.modeling.meta_arch.dab_detr")
+        matcher = detr_utils.HungarianMatcher(
+            cost_class=1, cost_bbox=5, cost_giou=2)
+        criterion = mod.SetCriterion(
+            num_classes=C, matcher=matcher, weight_dict={}, eos_coef=0.1,
+            losses=["labels", "boxes"])
+        ref_logits, use_focal = logits, False
+
+    with torch.no_grad():
+        ref_losses = criterion(
+            {"pred_logits": _t(ref_logits), "pred_boxes": _t(pred)},
+            targets)
+
+    # HungarianMatcherSMCA's focal cost formula is identical to
+    # HungarianMatcherAnchorDETR's, so our single focal path covers both
+    ours = detr_set_criterion(
+        jnp.asarray(logits), jnp.asarray(pred),
+        jnp.asarray(gt_boxes), jnp.asarray(gt_classes),
+        jnp.asarray(gt_valid),
+        num_classes=C, eos_coef=0.1, use_focal=use_focal,
+    )
+
+    np.testing.assert_allclose(
+        float(ours["loss_ce"]), float(ref_losses["loss_ce"]),
+        rtol=RTOL, atol=ATOL, err_msg=f"{arch} copy loss_ce")
+    np.testing.assert_allclose(
+        float(ours["loss_bbox"]), 5.0 * float(ref_losses["loss_bbox"]),
+        rtol=RTOL, atol=ATOL, err_msg=f"{arch} copy loss_bbox")
+    np.testing.assert_allclose(
+        float(ours["loss_giou"]), 2.0 * float(ref_losses["loss_giou"]),
+        rtol=RTOL, atol=ATOL, err_msg=f"{arch} copy loss_giou")
+
+
+def test_hungarian_matcher_d2go_both_modes():
+    """HungarianMatcherD2go (detr_utils.py:265) is the base matcher with a
+    use_focal_loss switch — its indices must equal HungarianMatcher
+    (softmax mode) and HungarianMatcherAnchorDETR (focal mode), both of
+    which our unified criterion is proven against."""
+    import torch
+
+    install_stubs()
+    detr_utils = ref_module("yolov7.utils.detr_utils")
+
+    rng = np.random.RandomState(53)
+    B, Q, C = 2, 18, 6
+    gt_counts = (4, 2)
+    logits, pred, _, _, _, targets = _random_detr_scene(
+        rng, B, Q, C, gt_counts)
+
+    base = detr_utils.HungarianMatcher(cost_class=1, cost_bbox=5,
+                                       cost_giou=2)
+    focal = detr_utils.HungarianMatcherAnchorDETR(cost_class=1, cost_bbox=5,
+                                                  cost_giou=2)
+    with torch.no_grad():
+        for use_focal, twin in ((False, base), (True, focal)):
+            d2go = detr_utils.HungarianMatcherD2go(
+                cost_class=1, cost_bbox=5, cost_giou=2,
+                use_focal_loss=use_focal)
+            lg = logits[..., :C] if use_focal else logits
+            out = {"pred_logits": _t(lg), "pred_boxes": _t(pred)}
+            got = d2go(out, targets)
+            want = twin(out, targets)
+            for (gi, gj), (wi, wj) in zip(got, want):
+                np.testing.assert_array_equal(gi.numpy(), wi.numpy())
+                np.testing.assert_array_equal(gj.numpy(), wj.numpy())
+
+# ---------------------------------------------------------------------------
+# YOLOMask OrienMaskYOLOLoss (detection + orientation-field terms)
+# ---------------------------------------------------------------------------
+
+def test_yolomask_orien_loss_parity():
+    """OrienMaskYOLOLoss (yolomask.py:431-851) per scale, summed the way
+    the meta-arch sums it (:263-271): offset-space ciou box term, split
+    pos/neg objectness, class BCE, and the smooth-l1 orientation terms
+    with their count/overwrite target semantics. The alfred ``ciou`` is
+    unavailable (package not installed) — the stub transcribes the
+    standard CIoU formula on both sides, so loss_box is formula-pinned
+    while the other five terms are true differentials."""
+    import torch
+
+    install_stubs()
+    ym = ref_module("yolov7.modeling.meta_arch.yolomask")
+    from yolov7_d2_tpu.models.meta_arch.yolomask import yolomask_losses
+
+    rng = np.random.RandomState(61)
+    gt_counts = (3, 2)
+    B, C, NA = len(gt_counts), 5, 3
+    IMG = 128
+    level_hw = [(16, 16), (8, 8), (4, 4)]       # strides 8, 16, 32
+    anchors = np.array(
+        [[[10, 13], [16, 30], [33, 23]],
+         [[30, 61], [62, 45], [59, 119]],
+         [[116, 90], [90, 60], [100, 110]]], np.float32)
+    Gmax = max(gt_counts)
+    Hq = Wq = IMG // 4
+
+    # raw head maps per level [B, na, h, w, 5+C]; orien [B,Hq,Wq,L,na,2]
+    raw_lvl = [rng.randn(B, NA, h, w, 5 + C).astype(np.float32) * 0.5
+               for h, w in level_hw]
+    orien = (rng.randn(B, Hq, Wq, 3, NA, 2) * 2.0).astype(np.float32)
+
+    gt_masks = np.zeros((B, Gmax, IMG, IMG), np.float32)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)   # xyxy px
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    gt_instances = []
+    for b, g in enumerate(gt_counts):
+        m = _soft_blob_masks(rng, g, IMG, IMG)
+        cls = rng.randint(0, C, size=(g,))
+        boxes = np.zeros((g, 4), np.float32)
+        for i in range(g):
+            ys, xs = np.nonzero(m[i])
+            boxes[i] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+        gt_masks[b, :g] = m
+        gt_boxes[b, :g] = boxes
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+        # the reference converts gt to CENTER-xywh before the loss
+        # (yolomask.py:210-212, BoxModeMy.XYWH_ABS is (cx, cy, w, h))
+        cxcywh = np.concatenate(
+            [(boxes[:, 0:2] + boxes[:, 2:4]) / 2,
+             boxes[:, 2:4] - boxes[:, 0:2]], -1)
+        gt_instances.append(SimpleNamespace(
+            gt_boxes=SimpleNamespace(tensor=_t(cxcywh)),
+            gt_classes=_t(cls.astype(np.int64)),
+            gt_masks=SimpleNamespace(tensor=_t(m.astype(np.uint8))),
+        ))
+
+    # reference: one loss evaluator per scale, same anchor grouping as ours
+    ref_totals = {}
+    with torch.no_grad():
+        for lvl, (h, w) in enumerate(level_hw):
+            ev = ym.OrienMaskYOLOLoss(
+                grid_size=(h, w), image_size=None,
+                anchors=anchors.reshape(-1, 2).tolist(),
+                anchor_mask=[lvl * NA + k for k in range(NA)],
+                num_classes=C, center_region=0.6, valid_region=0.6,
+                label_smooth=False, obj_ignore_threshold=0.5)
+            pred_bbox = _t(np.ascontiguousarray(
+                raw_lvl[lvl].transpose(0, 1, 4, 2, 3).reshape(
+                    B, NA * (5 + C), h, w)))
+            pred_orien = _t(np.ascontiguousarray(
+                orien[:, :, :, lvl].transpose(0, 3, 4, 1, 2).reshape(
+                    B, NA * 2, Hq, Wq)))
+            out = ev((pred_bbox, pred_orien), gt_instances, (IMG, IMG))
+            for k, v in out.items():
+                ref_totals[k] = ref_totals.get(k, 0.0) + float(v)
+
+    # ours: flat packing (cell-major, anchor-fastest per level)
+    flat_out = np.concatenate([
+        r.transpose(0, 2, 3, 1, 4).reshape(B, -1, 5 + C) for r in raw_lvl
+    ], axis=1)
+    ours = yolomask_losses(
+        {"outputs": jnp.asarray(flat_out), "level_hw": tuple(level_hw),
+         "orien": jnp.asarray(orien)},
+        {"gt_boxes": jnp.asarray(gt_boxes),
+         "gt_classes": jnp.asarray(gt_classes),
+         "gt_valid": jnp.asarray(gt_valid),
+         "gt_masks": jnp.asarray(gt_masks)},
+        num_classes=C, anchors=anchors, image_hw=(IMG, IMG),
+    )
+
+    for key in ("loss_obj_pos", "loss_obj_neg", "loss_cls",
+                "loss_orien_pos", "loss_orien_neg", "loss_box"):
+        np.testing.assert_allclose(
+            float(ours[key]), ref_totals[key], rtol=2e-3, atol=1e-4,
+            err_msg=f"yolomask {key}")

@@ -296,3 +296,115 @@ def test_v5_build_target_parity():
             assert our_slots[key] in classes, key
     assert n_unique >= int(gt_valid.sum())  # bulk of slots unambiguous
     assert len(ref_slots) >= int(gt_valid.sum())  # neighbors add positives
+
+
+def test_v3_get_target_parity():
+    """v3 YOLOHead.get_target (meta_arch/yolo.py:403) — same max-wh-IoU
+    assignment family as v7's but with the tgt_scale term
+    (2 - area/img_area), int16 cell truncation, and a separate
+    obj_mask contract. Drives the reference's own torch code."""
+    import torch
+    import torch.nn as nn
+
+    install_stubs()
+    y3 = ref_module("yolov7.modeling.meta_arch.yolo")
+    from yolov7_d2_tpu.models.heads.anchor_yolo_head import (
+        build_targets_max_iou)
+    from yolov7_d2_tpu.ops.iou import pairwise_box_iou
+    import jax
+
+    rng = np.random.RandomState(29)
+    B, C = 2, 20
+    gt_counts = (4, 2)
+    gt_boxes, gt_classes, gt_valid = _scene(rng, B, gt_counts, C)
+    Gmax = gt_boxes.shape[1]
+
+    pred_lvl = []
+    for (h, w), s in zip(LEVEL_HW, STRIDES):
+        cxcy = rng.uniform(0, IMG, size=(B, NA, h, w, 2))
+        wh = np.exp(rng.uniform(np.log(6), np.log(80), size=(B, NA, h, w, 2)))
+        pred_lvl.append(np.concatenate([cxcy, wh], -1).astype(np.float32))
+
+    target_t = np.zeros((B, Gmax, 5), np.float32)
+    target_t[..., 0] = gt_classes
+    target_t[..., 1:5] = gt_boxes
+    target_t[~gt_valid] = 0.0
+
+    ref_out = []
+    for lvl, ((h, w), s) in enumerate(zip(LEVEL_HW, STRIDES)):
+        head = object.__new__(y3.YOLOHead)
+        nn.Module.__init__(head)
+        head.level = lvl
+        head.num_anchors = NA
+        head.num_classes = C
+        head.anchors = ANCHORS_PX[lvl]
+        ra = np.zeros((9, 4), np.float32)
+        ra[:, 2:] = ANCHORS_PX.reshape(-1, 2)
+        head.ref_anchors = _t(ra)
+        with torch.no_grad():
+            ref_out.append(head.get_target(
+                _t(target_t), _t(pred_lvl[lvl]), (IMG, IMG),
+                w, h, float(s), float(s), ignore_threshold=0.7,
+            ))
+
+    tgt = jax.vmap(
+        lambda gb, gc, gv: build_targets_max_iou(
+            gb, gc, gv, ANCHORS_PX, LEVEL_HW, STRIDES)
+    )(jnp.asarray(gt_boxes), jnp.asarray(gt_classes), jnp.asarray(gt_valid))
+    fg = np.asarray(tgt["fg_mask"])
+    matched = np.asarray(tgt["matched_gt"])
+
+    flat_pred = []
+    for lvl, (h, w) in enumerate(LEVEL_HW):
+        flat_pred.append(
+            pred_lvl[lvl].transpose(0, 2, 3, 1, 4).reshape(B, h * w * NA, 4))
+    flat_pred = np.concatenate(flat_pred, axis=1)
+    pred_xyxy = np.concatenate(
+        [flat_pred[..., :2] - flat_pred[..., 2:] / 2,
+         flat_pred[..., :2] + flat_pred[..., 2:] / 2], -1)
+    pair = np.asarray(jax.vmap(pairwise_box_iou)(
+        jnp.asarray(pred_xyxy), jnp.asarray(gt_boxes)))
+    pair = pair * gt_valid[:, None, :]
+    ignore = (pair.max(-1) > 0.7) & ~fg
+
+    offs = np.cumsum([0] + [h * w * NA for h, w in LEVEL_HW[:-1]])
+    total_ref_fg = 0
+    for lvl, (h, w) in enumerate(LEVEL_HW):
+        mask, obj_mask, tx, ty, tw, th, tgt_scale, tcls = ref_out[lvl]
+        sl = slice(offs[lvl], offs[lvl] + h * w * NA)
+        fg_l = fg[:, sl].reshape(B, h, w, NA).transpose(0, 3, 1, 2)
+        ig_l = ignore[:, sl].reshape(B, h, w, NA).transpose(0, 3, 1, 2)
+        np.testing.assert_array_equal(
+            fg_l, mask.numpy().astype(bool), err_msg=f"v3 fg level {lvl}")
+        np.testing.assert_array_equal(
+            ~ig_l, obj_mask.numpy().astype(bool),
+            err_msg=f"v3 obj_mask level {lvl}")
+        total_ref_fg += int(mask.numpy().sum())
+
+        mt = matched[:, sl].reshape(B, h, w, NA).transpose(0, 3, 1, 2)
+        bb, aa, jj, ii = np.nonzero(mask.numpy())
+        for b_, a_, j_, i_ in zip(bb, aa, jj, ii):
+            g = mt[b_, a_, j_, i_]
+            box = gt_boxes[b_, g]
+            cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+            wv, hv = box[2] - box[0], box[3] - box[1]
+            s = STRIDES[lvl]
+            np.testing.assert_allclose(
+                tx.numpy()[b_, a_, j_, i_], cx / s - i_, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                ty.numpy()[b_, a_, j_, i_], cy / s - j_, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                tw.numpy()[b_, a_, j_, i_],
+                np.log(wv / ANCHORS_PX[lvl, a_, 0] + 1e-16),
+                rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                th.numpy()[b_, a_, j_, i_],
+                np.log(hv / ANCHORS_PX[lvl, a_, 1] + 1e-16),
+                rtol=1e-4, atol=1e-5)
+            # the v3-only tgt_scale term: 2 - area / img_area
+            np.testing.assert_allclose(
+                tgt_scale.numpy()[b_, a_, j_, i_],
+                2.0 - wv * hv / (IMG * IMG), rtol=1e-5, atol=1e-5)
+            assert tcls.numpy()[b_, a_, j_, i_, gt_classes[b_, g]] == 1.0
+
+    assert total_ref_fg == int(fg.sum()) == int(gt_valid.sum())

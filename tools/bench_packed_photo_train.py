@@ -35,10 +35,9 @@ def main():
     from yolov7_d2_tpu.config import get_cfg
     from yolov7_d2_tpu.data.coco import load_coco_json
     from yolov7_d2_tpu.data.device_aug import make_packed_photo_step
-    from yolov7_d2_tpu.data.mappers import YOLOXDatasetMapper
     from yolov7_d2_tpu.data.packed_cache import (
         PackedShardLoader,
-        write_packed_shards,
+        write_geometry_shards,
     )
     from yolov7_d2_tpu.engine import build_yolox_system
 
@@ -55,10 +54,11 @@ def main():
     shard_dir = "/tmp/packed_shards_photo"
     if not os.path.exists(os.path.join(shard_dir, "meta.json")):
         records = load_coco_json(ann, imroot)
-        mapper = YOLOXDatasetMapper(cfg, is_train=True, seed=0)
+        # geometry-only writer: the device photometric step re-applies
+        # mixup/HSV/flip, so the shards must not bake them a first time
         t0 = time.perf_counter()
-        n = write_packed_shards(records, mapper, shard_dir, epochs=4,
-                                shard_size=64)
+        n = write_geometry_shards(records, cfg, shard_dir, epochs=4,
+                                  shard_size=64)
         print(f"offline write: {n} samples in {time.perf_counter()-t0:.1f}s",
               flush=True)
 

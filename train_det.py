@@ -141,6 +141,33 @@ def main(args) -> None:
             packed_dir, cfg.SOLVER.IMS_PER_BATCH, image_dtype=np.uint8,
             seed=max(int(cfg.SEED), 0) + jax.process_index(),
         )
+        plain_dir = str(cfg.DATALOADER.PACKED_CACHE_PLAIN_DIR)
+        disable_at = int(cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER)
+        if plain_dir:
+            # reference DISABLE_AT_ITER: plain resized images for the
+            # final phase (dataset_mapper.py:400,490) — switch shard sets
+            from yolov7_d2_tpu.data.packed_cache import (
+                SwitchingPackedLoader,
+            )
+
+            plain_loader = PackedShardLoader(
+                plain_dir, cfg.SOLVER.IMS_PER_BATCH, image_dtype=np.uint8,
+                seed=max(int(cfg.SEED), 0) + jax.process_index() + 7919,
+            )
+            loader = SwitchingPackedLoader(
+                loader, plain_loader,
+                switch_after=max(disable_at - start_iter, 0),
+            )
+        elif disable_at < cfg.SOLVER.MAX_ITER:
+            logger.warning(
+                "PACKED_CACHE_DIR without PACKED_CACHE_PLAIN_DIR: after "
+                "DISABLE_AT_ITER=%d only the device photometrics stop; "
+                "the mosaic geometry baked into the shards keeps feeding "
+                "(the reference switches to plain resized images). Write "
+                "a plain shard set (data.packed_cache.write_plain_shards) "
+                "and set DATALOADER.PACKED_CACHE_PLAIN_DIR for reference "
+                "recipe fidelity.", disable_at,
+            )
         mapper = None
     elif device_aug:
         # host does decode+resize only; mosaic/mixup/HSV run fused in the

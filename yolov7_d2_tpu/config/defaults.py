@@ -423,6 +423,14 @@ def get_cfg() -> CfgNode:
     # jitted train step — the measured feed-the-chip recipe for weak
     # hosts (docs/PERF.md round 4)
     _C.DATALOADER.PACKED_CACHE_DIR = ""
+    # plain (un-augmented) shard set for the reference's DISABLE_AT_ITER
+    # final phase (dataset_mapper.py:400,490): the loader switches to it
+    # at the disable iteration (data/packed_cache.py
+    # SwitchingPackedLoader; write with write_plain_shards). When empty,
+    # mosaic-baked shards keep feeding after the disable iter (only the
+    # device photometrics stop) — a documented deviation train_det warns
+    # about.
+    _C.DATALOADER.PACKED_CACHE_PLAIN_DIR = ""
     _C.DATALOADER.PREFETCH_BUFFER = 2
     _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
     _C.DATALOADER.SHUFFLE = True

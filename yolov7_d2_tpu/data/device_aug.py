@@ -748,7 +748,12 @@ def make_packed_photo_step(cfg, train_step, seed: int = None):
     step counter, same as ``make_device_aug_step``."""
     aug = DevicePhotometric(cfg)
     disable_at = int(cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER)
-    base = jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED))
+    # per-host decorrelation: fold the process index into the base key the
+    # same way PackedShardLoader offsets its numpy seed — otherwise every
+    # host draws identical per-step mixup permutations/flip coins/HSV
+    base = jax.random.PRNGKey(
+        (seed if seed is not None else max(int(cfg.SEED), 0))
+        + jax.process_index())
 
     def step(state, batch):
         key = jax.random.fold_in(base, state.step)
@@ -772,7 +777,10 @@ def make_device_aug_step(cfg, train_step, seed: int = None):
     ``lax.cond`` on the step counter."""
     aug = DeviceAug(cfg)
     disable_at = int(cfg.INPUT.MOSAIC_AND_MIXUP.DISABLE_AT_ITER)
-    base = jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED))
+    # per-host decorrelation, mirroring make_packed_photo_step
+    base = jax.random.PRNGKey(
+        (seed if seed is not None else max(int(cfg.SEED), 0))
+        + jax.process_index())
 
     def step(state, tiles):
         key = jax.random.fold_in(base, state.step)

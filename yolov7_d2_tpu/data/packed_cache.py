@@ -151,3 +151,92 @@ class PackedShardLoader:
         if "gt_masks" in out:
             out["gt_masks"] = out["gt_masks"].astype(np.float32)
         return out
+
+
+def geometry_only_cfg(cfg):
+    """Writer config for PACKED_CACHE_DIR shards: geometry only.
+
+    The production split is geometry OFFLINE (mosaic/perspective baked
+    into the shards) and photometrics ON DEVICE
+    (``DevicePhotometric``: mixup blend + HSV + flip, re-randomized per
+    step). Shards written with the full train mapper would bake the
+    photometrics a first time and the device aug would re-apply them —
+    double mixup (quarter-weight composites), double HSV, possible
+    double flip. This clone disables every photometric the device path
+    re-applies."""
+    out = cfg.clone()
+    out.defrost()
+    out.INPUT.MOSAIC_AND_MIXUP.ENABLE_MIXUP = False
+    out.INPUT.DISTORTION.ENABLED = False
+    out.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED = False
+    out.INPUT.RANDOM_FLIP_VERTICAL.ENABLED = False
+    out.freeze()
+    return out
+
+
+def plain_cfg(cfg):
+    """Writer config for PACKED_CACHE_PLAIN_DIR shards: NO augmentation.
+
+    The reference's ``DISABLE_AT_ITER`` switches the train mapper to
+    plain resized images for the final iterations
+    (dataset_mapper.py:400,490) — the recipe's known-to-matter last
+    phase. Mosaic-baked shards cannot reproduce that by turning off
+    photometrics alone; the plain shard set replaces them at the switch
+    iteration (``SwitchingPackedLoader``)."""
+    out = cfg.clone()
+    out.defrost()
+    out.INPUT.MOSAIC_AND_MIXUP.ENABLED = False
+    out.INPUT.MOSAIC_AND_MIXUP.ENABLE_MIXUP = False
+    out.INPUT.DISTORTION.ENABLED = False
+    out.INPUT.RANDOM_FLIP_HORIZONTAL.ENABLED = False
+    out.INPUT.RANDOM_FLIP_VERTICAL.ENABLED = False
+    out.freeze()
+    return out
+
+
+def write_geometry_shards(records, cfg, out_dir, **kw) -> int:
+    """write_packed_shards with the geometry-only mapper (see
+    ``geometry_only_cfg``) — the correct writer for
+    DATALOADER.PACKED_CACHE_DIR."""
+    from yolov7_d2_tpu.data.mappers import YOLOXDatasetMapper
+
+    mapper = YOLOXDatasetMapper(
+        geometry_only_cfg(cfg), is_train=True, seed=kw.pop("mapper_seed", 0))
+    return write_packed_shards(records, mapper, out_dir, **kw)
+
+
+def write_plain_shards(records, cfg, out_dir, **kw) -> int:
+    """write_packed_shards with the un-augmented mapper (see
+    ``plain_cfg``) — the correct writer for
+    DATALOADER.PACKED_CACHE_PLAIN_DIR (the post-DISABLE_AT_ITER feed)."""
+    from yolov7_d2_tpu.data.mappers import YOLOXDatasetMapper
+
+    mapper = YOLOXDatasetMapper(
+        plain_cfg(cfg), is_train=True, seed=kw.pop("mapper_seed", 0))
+    return write_packed_shards(records, mapper, out_dir, epochs=1, **kw)
+
+
+class SwitchingPackedLoader:
+    """DISABLE_AT_ITER semantics over packed shards: yield from the
+    augmented (mosaic-baked) shard set for ``switch_after`` batches, then
+    from the plain shard set forever — mirroring the reference's
+    dataset_mapper.py:400,490 mapper switch. The device photometric wrap
+    (``make_packed_photo_step``) independently cuts mixup/HSV/flip at the
+    same iteration via its ``lax.cond``, so post-switch batches are fully
+    un-augmented, exactly like the reference's final phase."""
+
+    def __init__(self, aug_loader, plain_loader, switch_after: int):
+        self.aug_loader = aug_loader
+        self.plain_loader = plain_loader
+        self.switch_after = max(int(switch_after), 0)
+
+    def __iter__(self):
+        n = 0
+        if self.switch_after > 0:
+            for batch in self.aug_loader:
+                yield batch
+                n += 1
+                if n >= self.switch_after:
+                    break
+        for batch in self.plain_loader:
+            yield batch

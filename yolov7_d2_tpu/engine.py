@@ -315,27 +315,21 @@ def build_system(cfg, rng: Optional[jax.Array] = None, batch_size: int = 2):
             )
 
     elif arch == "YOLOMask":
-        from yolov7_d2_tpu.models.meta_arch.yolomask import orien_loss
-        from yolov7_d2_tpu.models.meta_arch.yolov7 import (
-            _anchors_from_cfg,
-            anchor_yolo_loss_fn,
-        )
+        from yolov7_d2_tpu.models.meta_arch.yolomask import yolomask_losses
+        from yolov7_d2_tpu.models.meta_arch.yolov7 import _anchors_from_cfg
 
         anchors = np.asarray(_anchors_from_cfg(cfg), np.float32)
         fields = fields + ("gt_masks",)
+        image_hw = tuple(cfg.INPUT.INPUT_SIZE)
 
         def loss_fn(out, batch, use_l1_flag):
-            det = anchor_yolo_loss_fn(
-                out, batch, anchors, nc,
-                ignore_threshold=max(cfg.MODEL.YOLO.IGNORE_THRESHOLD, 0.5),
+            # reference OrienMaskYOLOLoss semantics (yolomask.py:431):
+            # detection + orientation terms in one criterion
+            return yolomask_losses(
+                out, batch, nc, anchors, image_hw,
+                obj_ignore_threshold=max(
+                    cfg.MODEL.YOLO.IGNORE_THRESHOLD, 0.5),
             )
-            l_orien = orien_loss(
-                out["orien"], batch["gt_masks"], batch["gt_boxes"],
-                batch["gt_valid"],
-            )
-            det["loss_orien"] = l_orien
-            det["total_loss"] = det["total_loss"] + l_orien
-            return det
 
     else:
         raise ValueError(f"No training wiring for meta-arch '{arch}'")
