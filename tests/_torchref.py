@@ -248,9 +248,39 @@ def install_stubs() -> None:
         inter = wh[..., 0] * wh[..., 1]
         return inter / (area1[:, None] + area2[None, :] - inter)
 
+    def _tv_nms(boxes, scores, iou_threshold):
+        # torchvision.ops.nms semantics — real minimal implementation so
+        # the reference inference paths (postprocess/postprocessv5,
+        # YOLOF) run in parity tests
+        order = torch.argsort(scores, descending=True)
+        keep = []
+        while order.numel() > 0:
+            i = order[0]
+            keep.append(i)
+            if order.numel() == 1:
+                break
+            rest = order[1:]
+            lt = torch.max(boxes[i, :2], boxes[rest, :2])
+            rb = torch.min(boxes[i, 2:], boxes[rest, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[:, 0] * wh[:, 1]
+            area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            area_r = (boxes[rest, 2] - boxes[rest, 0]) * (
+                boxes[rest, 3] - boxes[rest, 1])
+            iou = inter / (area_i + area_r - inter)
+            order = rest[iou <= iou_threshold]
+        return (torch.stack(keep) if keep
+                else torch.zeros(0, dtype=torch.long))
+
+    def _tv_batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.zeros(0, dtype=torch.long)
+        offset = idxs.to(boxes.dtype) * (boxes.max() + 1.0)
+        return _tv_nms(boxes + offset[:, None], scores, iou_threshold)
+
     for m in (ops, opsb):
-        m.nms = _unavailable
-        m.batched_nms = _unavailable
+        m.nms = _tv_nms
+        m.batched_nms = _tv_batched_nms
         m.box_area = _box_area
         m.box_iou = _box_iou
     tv.ops = ops
@@ -574,7 +604,37 @@ def install_stubs() -> None:
     # in the parity path
     import torch as _t
     layers.cat = lambda ts, dim=0: _t.cat(ts, dim)
-    layers.batched_nms = None  # inference-only, never called in parity
+
+    def _greedy_nms(boxes, scores, iou_threshold):
+        # torchvision.ops.nms semantics (descending score, suppress
+        # IoU > threshold) — real minimal implementation for the
+        # reference inference paths (YOLOF etc.)
+        order = torch.argsort(scores, descending=True)
+        keep = []
+        while order.numel() > 0:
+            i = order[0]
+            keep.append(i)
+            if order.numel() == 1:
+                break
+            rest = order[1:]
+            lt = torch.max(boxes[i, :2], boxes[rest, :2])
+            rb = torch.min(boxes[i, 2:], boxes[rest, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[:, 0] * wh[:, 1]
+            area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            area_r = (boxes[rest, 2] - boxes[rest, 0]) * (
+                boxes[rest, 3] - boxes[rest, 1])
+            iou = inter / (area_i + area_r - inter)
+            order = rest[iou <= iou_threshold]
+        return torch.stack(keep) if keep else torch.zeros(0, dtype=torch.long)
+
+    def _batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.zeros(0, dtype=torch.long)
+        offset = idxs.to(boxes.dtype) * (boxes.max() + 1.0)
+        return _greedy_nms(boxes + offset[:, None], scores, iou_threshold)
+
+    layers.batched_nms = _batched_nms
     layers.paste_masks_in_image = None
     layers.nonzero_tuple = nonzero_tuple
     _anch = _stub("detectron2.modeling.anchor_generator")

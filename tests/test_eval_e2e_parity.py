@@ -218,3 +218,242 @@ def test_detr_eval_e2e_parity():
         np.testing.assert_allclose(
             bx[keep][o_ours], ref_boxes[o_ref], rtol=1e-4, atol=1e-3,
             err_msg="detr final boxes")
+
+
+def test_solov2_eval_e2e_parity():
+    """Reference SOLOv2 eval chain — point_nms -> per-(cell,class)
+    candidates -> dynamic-conv masks -> area>stride filter -> maskness
+    rescoring -> matrix NMS -> update_thr -> top-k -> two-stage mask
+    upsample + mask-derived boxes (solov2.py:180-197, 432-647) — against
+    ours, to final-Instances agreement. Head/neck forwards are
+    parity-proven in test_torch_parity_stacks; this drives the whole
+    postprocess on shared head outputs."""
+    import torch
+
+    install_stubs()
+    solov2_mod = ref_module("yolov7.modeling.meta_arch.solov2")
+    utils_mod = ref_module("yolov7.utils.solov2_utils")
+
+    from yolov7_d2_tpu.models.meta_arch.solov2 import (
+        solov2_postprocess, solov2_upsample_masks)
+
+    rng = np.random.default_rng(71)
+    B, C, E = 1, 4, 8
+    num_grids = (8, 6, 4)
+    strides = (8, 16, 32)
+    H = W = 64          # network input
+    ORI = (57, 49)      # original image size
+    Hm = Wm = 16        # mask features at stride 4
+    NMS_PRE, MAX_PER_IMG = 64, 16
+    SCORE_THR, UPDATE_THR, MASK_THR = 0.3, 0.05, 0.5
+
+    cate_logits = [
+        (rng.standard_normal((B, C, s, s)) * 1.5 - 3.0).astype(np.float32)
+        for s in num_grids
+    ]
+    kernel_preds = [
+        (rng.standard_normal((B, E, s, s)) * 0.3).astype(np.float32)
+        for s in num_grids
+    ]
+    mask_feats = rng.standard_normal((B, E, Hm, Wm)).astype(np.float32)
+
+    ref = object.__new__(solov2_mod.SOLOv2)
+    torch.nn.Module.__init__(ref)
+    ref.num_classes = C
+    ref.num_kernels = E
+    ref.num_grids = list(num_grids)
+    ref.instance_strides = list(strides)
+    ref.max_before_nms = NMS_PRE
+    ref.score_threshold = SCORE_THR
+    ref.update_threshold = UPDATE_THR
+    ref.mask_threshold = MASK_THR
+    ref.max_per_img = MAX_PER_IMG
+    ref.nms_kernel = "gaussian"
+    ref.nms_sigma = 2.0
+    ref.nms_type = "matrix"
+
+    with torch.no_grad():
+        # the forward's point_nms on sigmoided maps, then inference
+        pred_cates = [
+            utils_mod.point_nms(
+                torch.from_numpy(c).sigmoid(), kernel=2
+            ).permute(0, 2, 3, 1)
+            for c in cate_logits
+        ]
+        results = ref.inference(
+            pred_cates,
+            [torch.from_numpy(k) for k in kernel_preds],
+            torch.from_numpy(mask_feats),
+            [(H, W)], [{"height": ORI[0], "width": ORI[1]}],
+        )
+    inst = results[0]["instances"]
+    ref_scores = inst.scores.numpy()
+    ref_classes = inst.pred_classes.numpy()
+    ref_masks = inst.pred_masks.numpy()
+    ref_boxes = inst.pred_boxes.tensor.numpy()
+    assert len(ref_scores) >= 3, "scene too sparse to be meaningful"
+
+    ours = solov2_postprocess(
+        {
+            "mask_feats": jnp.asarray(mask_feats.transpose(0, 2, 3, 1)),
+            "cate_preds": [jnp.asarray(c.transpose(0, 2, 3, 1))
+                           for c in cate_logits],
+            "kernel_preds": [jnp.asarray(k.transpose(0, 2, 3, 1))
+                             for k in kernel_preds],
+        },
+        score_thr=SCORE_THR, mask_thr=MASK_THR, update_thr=UPDATE_THR,
+        max_per_img=MAX_PER_IMG, nms_pre=NMS_PRE,
+        instance_strides=strides,
+    )
+    valid = np.asarray(ours.valid[0])
+    n = int(valid.sum())
+    assert n == len(ref_scores), (n, len(ref_scores))
+    our_scores = np.asarray(ours.scores[0])[:n]
+    our_classes = np.asarray(ours.classes[0])[:n]
+
+    np.testing.assert_allclose(
+        our_scores, ref_scores, rtol=2e-4, atol=1e-5,
+        err_msg="solov2 final scores diverge")
+    np.testing.assert_array_equal(
+        our_classes, ref_classes, err_msg="solov2 final classes diverge")
+
+    bin_masks, boxes = solov2_upsample_masks(
+        jnp.asarray(ours.masks[0][:n]), (H, W), ORI, mask_thr=MASK_THR)
+    mismatch = np.mean(np.asarray(bin_masks) != ref_masks)
+    assert mismatch < 5e-3, f"solov2 mask mismatch fraction {mismatch}"
+    np.testing.assert_allclose(
+        np.asarray(boxes), ref_boxes, atol=1.0,
+        err_msg="solov2 mask-derived boxes diverge")
+
+
+def test_yolof_eval_e2e_parity():
+    """Reference YOLOF.inference (yolof.py:436-540): flattened
+    (anchor, class) sigmoid candidates -> score threshold -> top-k ->
+    delta decode -> detectron2 batched_nms -> max_detections, against
+    our yolof_postprocess at final-Instances agreement. The
+    encoder/decoder forward is parity-proven in
+    test_torch_parity_stacks::test_yolof_encoder_decoder_parity; this
+    drives the whole eval postprocess on shared head outputs."""
+    import torch
+    import torch.nn as nn
+
+    install_stubs()
+    yolof_mod = ref_module("yolov7.modeling.meta_arch.yolof")
+    br = ref_module("yolov7.modeling.head.box_regression")
+    from detectron2.structures import Boxes
+
+    from yolov7_d2_tpu.models.meta_arch.yolof import (
+        yolof_anchors, yolof_postprocess)
+
+    rng = np.random.default_rng(79)
+    B, C = 1, 6
+    H = W = 8
+    stride = 32
+    anchors_np = np.asarray(yolof_anchors(H, W, stride=stride))
+    A = anchors_np.shape[0]
+
+    # logits biased down so a moderate candidate count clears the 0.05
+    # threshold; continuous values keep NMS orderings unique
+    logits = (rng.standard_normal((B, A, C)) * 1.2 - 2.2).astype(np.float32)
+    deltas = (rng.standard_normal((B, A, 4)) * 0.4).astype(np.float32)
+
+    ref = object.__new__(yolof_mod.YOLOF)
+    nn.Module.__init__(ref)
+    ref.num_classes = C
+    ref.test_score_thresh = 0.05
+    ref.test_topk_candidates = 200
+    ref.test_nms_thresh = 0.6
+    ref.max_detections_per_image = 50
+    ref.box2box_transform = br.YOLOFBox2BoxTransform(
+        weights=(1.0, 1.0, 1.0, 1.0))
+
+    with torch.no_grad():
+        # .copy(): the reference's sigmoid_() is IN-PLACE on a view and
+        # would mutate the numpy array our side reads
+        results = ref.inference(
+            [Boxes(torch.from_numpy(anchors_np))],
+            [torch.from_numpy(logits.copy())],
+            [torch.from_numpy(deltas.copy())],
+            [(H * stride, W * stride)],
+        )
+    inst = results[0]
+    ref_scores = inst.scores.numpy()
+    ref_classes = inst.pred_classes.numpy()
+    ref_boxes = inst.pred_boxes.tensor.numpy()
+    assert len(ref_scores) >= 5, "scene too sparse"
+
+    ours = yolof_postprocess(
+        {"logits": jnp.asarray(logits), "deltas": jnp.asarray(deltas),
+         "anchors": jnp.asarray(anchors_np)},
+        score_thresh=0.05, nms_thresh=0.6, topk_candidates=200,
+        max_detections=50,
+    )
+    valid = np.asarray(ours.valid[0])
+    n = int(valid.sum())
+    assert n == len(ref_scores), (n, len(ref_scores))
+    np.testing.assert_allclose(
+        np.asarray(ours.scores[0])[:n], ref_scores, rtol=1e-5, atol=1e-6,
+        err_msg="yolof final scores diverge")
+    np.testing.assert_array_equal(
+        np.asarray(ours.classes[0])[:n], ref_classes,
+        err_msg="yolof final classes diverge")
+    np.testing.assert_allclose(
+        np.asarray(ours.boxes[0])[:n], ref_boxes, rtol=1e-4, atol=1e-3,
+        err_msg="yolof final boxes diverge")
+
+
+@pytest.mark.parametrize("v5", [False, True])
+def test_yolo_postprocess_v5_v7_parity(v5):
+    """Reference postprocess / postprocessv5 (utils/boxes.py:171-306) on
+    decoded predictions vs our yolo_nms_postprocess: same gate (obj*cls
+    for v7-family, obj-only for v5), same obj*cls NMS ranking, same
+    final (boxes, scores, classes). Decode itself is parity-proven in
+    test_anchor_yolo / test_torch_parity."""
+    import torch
+
+    install_stubs()
+    boxes_mod = ref_module("yolov7.utils.boxes")
+    from yolov7_d2_tpu.models.meta_arch.yolov7 import yolo_nms_postprocess
+
+    rng = np.random.default_rng(101 if v5 else 97)
+    B, A, C = 2, 300, 6
+    cxcy = rng.uniform(40, 600, (B, A, 2))
+    wh = np.exp(rng.uniform(np.log(12), np.log(120), (B, A, 2)))
+    obj = rng.uniform(0, 1, (B, A)).astype(np.float32)
+    cls_prob = rng.uniform(0, 1, (B, A, C)).astype(np.float32)
+    pred = np.concatenate(
+        [cxcy, wh, obj[..., None], cls_prob], -1).astype(np.float32)
+
+    fn = boxes_mod.postprocessv5 if v5 else boxes_mod.postprocess
+    with torch.no_grad():
+        # .copy(): the reference mutates prediction[:, :, :4] in place
+        ref_out = fn(torch.from_numpy(pred.copy()), C,
+                     conf_thre=0.4, nms_thre=0.5)
+
+    boxes = np.concatenate(
+        [cxcy - wh / 2, cxcy + wh / 2], -1).astype(np.float32)
+    # the reference chain has NO detection cap — run ours uncapped so the
+    # survivor sets are comparable (max_detections is our d2-style cap)
+    ours = yolo_nms_postprocess(
+        jnp.asarray(boxes), jnp.asarray(obj), jnp.asarray(cls_prob),
+        conf_threshold=0.4, nms_threshold=0.5, max_detections=A,
+        pre_nms_topk=A, v5_gate=v5,
+    )
+    for b in range(B):
+        det = ref_out[b]
+        assert det is not None and det.shape[0] >= 3, "scene too sparse"
+        ref_boxes = det[:, :4].numpy()
+        ref_scores = (det[:, 4] * det[:, 5]).numpy()
+        ref_classes = det[:, 6].numpy().astype(np.int64)
+        valid = np.asarray(ours.valid[b])
+        n = int(valid.sum())
+        assert n == len(ref_scores), (v5, b, n, len(ref_scores))
+        np.testing.assert_allclose(
+            np.asarray(ours.scores[b])[:n], ref_scores, rtol=1e-5,
+            atol=1e-6, err_msg=f"v5={v5} scores diverge")
+        np.testing.assert_array_equal(
+            np.asarray(ours.classes[b])[:n], ref_classes,
+            err_msg=f"v5={v5} classes diverge")
+        np.testing.assert_allclose(
+            np.asarray(ours.boxes[b])[:n], ref_boxes, rtol=1e-5, atol=1e-4,
+            err_msg=f"v5={v5} boxes diverge")

@@ -298,6 +298,9 @@ def get_cfg() -> CfgNode:
     _C.MODEL.DETR.L1_WEIGHT = 5.0
     _C.MODEL.DETR.DEEP_SUPERVISION = True
     _C.MODEL.DETR.NO_OBJECT_WEIGHT = 0.1
+    # rematerialize transformer layers in the backward pass (activation
+    # memory vs recompute — the batch-scaling lever, docs/PERF.md)
+    _C.MODEL.DETR.REMAT = False
     _C.MODEL.DETR.WITH_BOX_REFINE = False
     _C.MODEL.DETR.TWO_STAGE = False
     _C.MODEL.DETR.DECODER_BLOCK_GRAD = True
@@ -438,6 +441,9 @@ def get_cfg() -> CfgNode:
     # ---------------------------------------------------------------- SOLVER
     _C.SOLVER = CfgNode()
     _C.SOLVER.OPTIMIZER = "sgd"  # sgd | adamw
+    # keep adam first-moment state in bf16 (halves optimizer HBM; optax
+    # mu_dtype — nu stays f32 for scale stability)
+    _C.SOLVER.ADAM_BF16_STATE = False
     _C.SOLVER.IMS_PER_BATCH = 16
     _C.SOLVER.BASE_LR = 0.01
     _C.SOLVER.MOMENTUM = 0.9

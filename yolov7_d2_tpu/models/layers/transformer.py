@@ -167,6 +167,10 @@ class Transformer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     pre_norm: bool = False
+    # rematerialize each encoder/decoder layer in the backward pass:
+    # trades ~num_layers x layer-activation memory for one extra forward
+    # (the HBM-capacity lever for the bs64 layout cliff, docs/PERF.md)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -178,11 +182,13 @@ class Transformer(nn.Module):
         train: bool = False,
     ):
         b = src.shape[0]
+        Enc = (nn.remat(EncoderLayer, static_argnums=(3, 4))
+               if self.remat else EncoderLayer)
         for i in range(self.num_encoder_layers):
-            src = EncoderLayer(
+            src = Enc(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.pre_norm, self.dtype, name=f"enc_{i}",
-            )(src, pos, train)
+            )(src, pos, train, None)
         if self.pre_norm:
             src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="enc_norm")(src).astype(
                 self.dtype
@@ -195,8 +201,10 @@ class Transformer(nn.Module):
         # DETR applies one shared final norm to every intermediate output
         dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="dec_norm")
         outs = []
+        Dec = (nn.remat(DecoderLayer, static_argnums=(5,))
+               if self.remat else DecoderLayer)
         for i in range(self.num_decoder_layers):
-            tgt = DecoderLayer(
+            tgt = Dec(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.pre_norm, self.dtype, name=f"dec_{i}",
             )(tgt, src, q, pos, train)

@@ -48,6 +48,7 @@ class DETR(nn.Module):
     pre_norm: bool = False
     resnet_depth: int = 50
     backbone_feature: str = "res5"
+    remat: bool = False      # MODEL.DETR.REMAT: remat transformer layers
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -82,7 +83,7 @@ class DETR(nn.Module):
             num_decoder_layers=self.dec_layers,
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout, pre_norm=self.pre_norm,
-            dtype=self.dtype, name="transformer",
+            remat=self.remat, dtype=self.dtype, name="transformer",
         )(
             src.reshape(b, h * w, self.hidden_dim),
             pos.reshape(b, h * w, self.hidden_dim),
@@ -342,5 +343,6 @@ def build_detr(cfg, dtype: Optional[Any] = None):
         dropout=d.DROPOUT,
         pre_norm=d.PRE_NORM,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        remat=d.REMAT,
         dtype=dtype,
     )

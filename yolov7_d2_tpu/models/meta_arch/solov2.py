@@ -362,6 +362,17 @@ def solov2_losses(
     }
 
 
+def _point_nms(heat: jnp.ndarray) -> jnp.ndarray:
+    """point_nms (utils/solov2_utils.py:142): keep a cell's score iff it
+    equals the max of the 2x2 window anchored one cell up-left (the torch
+    max_pool2d(kernel=2, stride=1, padding=1)[:, :, :-1, :-1] slice).
+    heat: [B, S, S, C] sigmoid scores."""
+    hm = jax.lax.reduce_window(
+        heat, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 1, 1, 1),
+        padding=((0, 0), (1, 0), (1, 0), (0, 0)))
+    return heat * (hm == heat).astype(heat.dtype)
+
+
 def solov2_postprocess(
     out: Dict[str, Any],
     score_thr: float = 0.1,
@@ -371,52 +382,78 @@ def solov2_postprocess(
     nms_pre: int = 500,
     kernel: str = "gaussian",
     sigma: float = 2.0,
+    instance_strides: Sequence[int] = (8, 8, 16, 32, 32),
 ) -> Detections:
-    """Matrix-NMS inference (reference :432-647): top-k category cells ->
-    dynamic-conv masks -> maskness rescoring -> matrix NMS -> top-k."""
+    """Matrix-NMS inference, reference semantics (solov2.py:432-647 +
+    the forward's point_nms, :188-197): per-level 2x2 point NMS on the
+    sigmoided category maps; candidates are every (cell, CLASS) pair
+    above score_thr (a cell can carry several classes); dynamic-conv
+    masks; the sum_masks > stride area filter (:561); maskness
+    rescoring; re-sort by the rescored score; matrix NMS; update_thr
+    cut; final top-k. Static-shape deviation (documented): the
+    candidate set is the top ``nms_pre`` (cell, class) pairs by point-
+    NMS'd category score — the reference truncates to NMS_PRE only
+    after maskness rescoring, so rankings can differ when more than
+    nms_pre candidates clear score_thr. Masks return at mask-feature
+    resolution; use ``solov2_upsample_masks`` for original-resolution
+    binary masks + mask-derived boxes (the reference's two-stage
+    interpolate + threshold, :624-647)."""
     mask_feats = out["mask_feats"]
     b, hm, wm, e = mask_feats.shape
-    flat_scores, flat_kernels = [], []
-    for cate, kern in zip(out["cate_preds"], out["kernel_preds"]):
-        s = jax.nn.sigmoid(cate)
+    flat_scores, flat_kernels, stride_vec = [], [], []
+    for lvl, (cate, kern) in enumerate(
+            zip(out["cate_preds"], out["kernel_preds"])):
+        s = _point_nms(jax.nn.sigmoid(cate))
         flat_scores.append(s.reshape(b, -1, s.shape[-1]))
         flat_kernels.append(kern.reshape(b, -1, e))
-    scores = jnp.concatenate(flat_scores, axis=1)       # [B, ΣS², C]
-    kernels = jnp.concatenate(flat_kernels, axis=1)
+        n_cells = flat_scores[-1].shape[1]
+        stride_vec.append(
+            jnp.full((n_cells,), instance_strides[lvl], jnp.float32))
+    scores = jnp.concatenate(flat_scores, axis=1)       # [B, A, C]
+    kernels = jnp.concatenate(flat_kernels, axis=1)     # [B, A, E]
+    strides_all = jnp.concatenate(stride_vec)           # [A]
+    a_total, num_classes = scores.shape[1], scores.shape[2]
 
-    best_score = jnp.max(scores, axis=-1)
-    best_class = jnp.argmax(scores, axis=-1)
-    best_score = jnp.where(best_score >= score_thr, best_score, 0.0)
-    top_scores, top_idx = jax.lax.top_k(best_score, nms_pre)
-    top_class = jnp.take_along_axis(best_class, top_idx, axis=1)
-    top_kern = jnp.take_along_axis(kernels, top_idx[..., None], axis=1)
+    # every (cell, class) pair is a candidate (reference inds nonzero)
+    flat = jnp.where(scores > score_thr, scores, 0.0).reshape(b, -1)
+    top_scores, top_idx = jax.lax.top_k(flat, nms_pre)  # [B, P]
+    top_cell = top_idx // num_classes
+    top_class = (top_idx % num_classes).astype(jnp.int32)
+    top_kern = jnp.take_along_axis(kernels, top_cell[..., None], axis=1)
     masks = jax.nn.sigmoid(
         jnp.einsum("bpe,bhwe->bphw", top_kern, mask_feats)
     )
     binm = masks > mask_thr
     area = jnp.sum(binm, axis=(-2, -1)).astype(jnp.float32)
+    # area filter: sum_masks > stride (solov2.py:561)
+    cand_stride = strides_all[top_cell]
+    top_scores = jnp.where(area > cand_stride, top_scores, 0.0)
     # maskness rescoring
     maskness = jnp.sum(masks * binm, axis=(-2, -1)) / jnp.maximum(area, 1.0)
     top_scores = top_scores * maskness
-    top_scores = jnp.where(top_scores >= update_thr, top_scores, 0.0)
 
     def _one(m, bm, lbl, sc):
+        # matrix NMS consumes candidates sorted by the RESCALED score
+        # (the reference sorts after rescoring, :581-589)
+        order = jax.lax.top_k(sc, sc.shape[0])[1]
+        m, bm, lbl, sc = m[order], bm[order], lbl[order], sc[order]
         inter = jnp.einsum("phw,qhw->pq", bm.astype(jnp.float32),
                            bm.astype(jnp.float32))
         a = jnp.sum(bm, axis=(-2, -1)).astype(jnp.float32)
         union = a[:, None] + a[None, :] - inter
         ious = inter / jnp.maximum(union, 1.0)
-        # matrix NMS expects inputs sorted by score: top_k already sorted
         new_scores = matrix_nms_masks(ious, lbl, sc, kernel, sigma)
+        new_scores = jnp.where(sc > 0, new_scores, 0.0)
         keep_scores, keep_idx = jax.lax.top_k(new_scores, max_per_img)
         return (
-            m[keep_idx], lbl[keep_idx], keep_scores, keep_scores > update_thr
+            m[keep_idx], lbl[keep_idx], keep_scores,
+            keep_scores >= update_thr,
         )
 
     masks_out, classes_out, scores_out, valid = jax.vmap(_one)(
         masks, binm, top_class, top_scores
     )
-    # mask-derived boxes
+    # mask-derived boxes at mask-feature resolution
     ys = jnp.arange(hm, dtype=jnp.float32)[None, None, :, None]
     xs = jnp.arange(wm, dtype=jnp.float32)[None, None, None, :]
     bm = masks_out > mask_thr
@@ -436,6 +473,45 @@ def solov2_postprocess(
         valid=valid & any_px,
         masks=masks_out,
     )
+
+
+def solov2_upsample_masks(
+    masks: jnp.ndarray,          # [P, Hm, Wm] sigmoid probabilities
+    cur_hw: Tuple[int, int],     # network input size (h, w)
+    ori_hw: Tuple[int, int],     # original image size
+    mask_thr: float = 0.5,
+):
+    """Reference final resize chain (solov2.py:624-647): bilinear to
+    (Hm*ratio, Wm*ratio) with ratio = ceil(h / Hm), crop to the current
+    image size, bilinear to the original size, threshold. Returns
+    (binary masks [P, oh, ow], mask-derived boxes xyxy [P, 4] — the
+    reference's min/max WITHOUT +1)."""
+    import math
+
+    p, fh, fw = masks.shape
+    h, w = cur_hw
+    oh, ow = ori_hw
+    ratio = math.ceil(h / fh)
+    # antialias=False: torch F.interpolate(bilinear) does not antialias,
+    # and the second stage is a DOWNSCALE where jax's default antialias
+    # filter diverges from torch
+    up = jax.image.resize(
+        masks, (p, fh * ratio, fw * ratio), method="bilinear",
+        antialias=False)[:, :h, :w]
+    seg = jax.image.resize(up, (p, oh, ow), method="bilinear",
+                           antialias=False)
+    bm = seg > mask_thr
+    ys = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
+    big = 1e9
+    x0 = jnp.min(jnp.where(bm, xs, big), axis=(-2, -1))
+    y0 = jnp.min(jnp.where(bm, ys, big), axis=(-2, -1))
+    x1 = jnp.max(jnp.where(bm, xs, -big), axis=(-2, -1))
+    y1 = jnp.max(jnp.where(bm, ys, -big), axis=(-2, -1))
+    any_px = jnp.any(bm, axis=(-2, -1))
+    boxes = jnp.where(
+        any_px[:, None], jnp.stack([x0, y0, x1, y1], -1), 0.0)
+    return bm, boxes
 
 
 @META_ARCH_REGISTRY.register(name="SOLOv2")

@@ -125,13 +125,32 @@ def yolof_anchors(h: int, w: int, stride: int = 32,
     return np.asarray(out, np.float32)
 
 
-def decode_deltas(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
-    """YOLOFBox2BoxTransform.apply_deltas: (dx,dy,dw,dh) on cxcywh anchors."""
+_SCALE_CLAMP = float(np.log(1000.0 / 16))   # box_regression.py:6
+
+
+def decode_deltas(
+    anchors: jnp.ndarray,
+    deltas: jnp.ndarray,
+    add_ctr_clamp: bool = False,
+    ctr_clamp: float = 32.0,
+) -> jnp.ndarray:
+    """YOLOFBox2BoxTransform.apply_deltas (box_regression.py:88-130):
+    (dx,dy,dw,dh) on cxcywh anchors, dw/dh clamped at log(1000/16), with
+    the optional YOLOF center clamp (max pixel shift ``ctr_clamp``;
+    the torch class defaults to add_ctr_clamp=False — the reference's
+    MODEL.YOLOF.BOX_TRANSFORM cfg keys are never defined anywhere in its
+    config surface, so the class defaults are the only executable
+    contract)."""
     a = xyxy_to_cxcywh(anchors)
-    cx = a[..., 0] + deltas[..., 0] * a[..., 2]
-    cy = a[..., 1] + deltas[..., 1] * a[..., 3]
-    w = a[..., 2] * jnp.exp(jnp.clip(deltas[..., 2], max=8.0))
-    h = a[..., 3] * jnp.exp(jnp.clip(deltas[..., 3], max=8.0))
+    dxw = deltas[..., 0] * a[..., 2]
+    dyh = deltas[..., 1] * a[..., 3]
+    if add_ctr_clamp:
+        dxw = jnp.clip(dxw, -ctr_clamp, ctr_clamp)
+        dyh = jnp.clip(dyh, -ctr_clamp, ctr_clamp)
+    cx = a[..., 0] + dxw
+    cy = a[..., 1] + dyh
+    w = a[..., 2] * jnp.exp(jnp.clip(deltas[..., 2], max=_SCALE_CLAMP))
+    h = a[..., 3] * jnp.exp(jnp.clip(deltas[..., 3], max=_SCALE_CLAMP))
     return cxcywh_to_xyxy(jnp.stack([cx, cy, w, h], axis=-1))
 
 
@@ -294,4 +313,45 @@ def build_yolof(cfg, dtype: Optional[Any] = None):
         num_classes=cfg.MODEL.YOLO.CLASSES,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
         dtype=dtype,
+    )
+
+
+def yolof_postprocess(
+    out: Dict[str, jnp.ndarray],
+    score_thresh: float = 0.05,
+    nms_thresh: float = 0.6,
+    topk_candidates: int = 1000,
+    max_detections: int = 100,
+):
+    """YOLOF inference (reference meta_arch/yolof.py:436-540,
+    inference_single_image): every (anchor, class) pair is a candidate —
+    flattened sigmoid scores thresholded at ``score_thresh``, top
+    ``topk_candidates`` kept, deltas decoded for those anchors, then
+    detectron2 ``batched_nms`` (class-aware greedy) and the final
+    ``max_detections`` cut. Single level (YOLOF's whole point), so no
+    per-level loop. Static shapes throughout."""
+    from yolov7_d2_tpu.ops.nms import batched_nms_batched
+    from yolov7_d2_tpu.structures.instances import Detections
+
+    logits, deltas, anchors = out["logits"], out["deltas"], out["anchors"]
+    b, a, c = logits.shape
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(b, a * c)
+    probs = jnp.where(probs > score_thresh, probs, 0.0)
+    k = min(topk_candidates, a * c)
+    top_p, top_i = jax.lax.top_k(probs, k)              # [B, K]
+    anchor_i = top_i // c
+    class_i = (top_i % c).astype(jnp.int32)
+    cand_deltas = jnp.take_along_axis(deltas, anchor_i[..., None], axis=1)
+    cand_anchors = anchors[anchor_i]                    # [B, K, 4]
+    boxes = decode_deltas(cand_anchors, cand_deltas)    # broadcasts [B,K,4]
+    keep_idx, keep_valid = batched_nms_batched(
+        boxes, top_p, class_i, iou_threshold=nms_thresh,
+        max_outputs=max_detections)
+    gi = jnp.clip(keep_idx, 0, k - 1)
+    return Detections(
+        boxes=jnp.take_along_axis(boxes, gi[..., None], axis=1),
+        scores=jnp.where(
+            keep_valid, jnp.take_along_axis(top_p, gi, axis=1), 0.0),
+        classes=jnp.take_along_axis(class_i, gi, axis=1),
+        valid=keep_valid,
     )

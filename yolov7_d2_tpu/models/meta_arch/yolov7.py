@@ -163,23 +163,29 @@ def anchor_yolo_loss_fn(
     )
 
 
-def anchor_yolo_postprocess(
-    flat: Dict[str, jnp.ndarray],
-    variant: str = "yolov7",
+def yolo_nms_postprocess(
+    boxes: jnp.ndarray,        # [B, A, 4] xyxy
+    obj: jnp.ndarray,          # [B, A] probabilities
+    cls_prob: jnp.ndarray,     # [B, A, C] probabilities
     conf_threshold: float = 0.01,
     nms_threshold: float = 0.5,
     max_detections: int = 100,
     pre_nms_topk: int = 1024,
+    v5_gate: bool = False,
 ) -> Detections:
-    """Decode + obj*cls confidence + class-aware NMS (reference
-    utils/boxes.py postprocess / postprocessv5)."""
-    boxes_cxcywh, obj_logits, cls_logits = decode_anchor_outputs(flat, variant)
-    boxes = cxcywh_to_xyxy(boxes_cxcywh)
-    obj = jax.nn.sigmoid(obj_logits)
-    cls_prob = jax.nn.sigmoid(cls_logits)
+    """The reference ``postprocess`` / ``postprocessv5`` NMS chains
+    (utils/boxes.py:171-306) on already-decoded predictions: best class
+    per anchor, confidence gate, class-aware greedy NMS ranked by
+    obj * class_conf. The two variants differ ONLY in the gate —
+    ``postprocess`` keeps candidates with obj * class_conf >= conf
+    (:191), ``postprocessv5`` with obj >= conf alone (:287) — the NMS
+    score is obj * class_conf in both. Differential:
+    tests/test_eval_e2e_parity.py::test_yolo_postprocess_v5_v7_parity."""
     best_cls = jnp.argmax(cls_prob, axis=-1)
-    scores = obj * jnp.max(cls_prob, axis=-1)
-    scores = jnp.where(scores >= conf_threshold, scores, 0.0)
+    combined = obj * jnp.max(cls_prob, axis=-1)
+    gate = (obj >= conf_threshold) if v5_gate else (
+        combined >= conf_threshold)
+    scores = jnp.where(gate, combined, 0.0)
 
     pre_nms_topk = min(pre_nms_topk, scores.shape[-1])
     top_scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)
@@ -197,6 +203,29 @@ def anchor_yolo_postprocess(
         ),
         classes=jnp.take_along_axis(top_cls, sel, axis=1).astype(jnp.int32),
         valid=keep_valid,
+    )
+
+
+def anchor_yolo_postprocess(
+    flat: Dict[str, jnp.ndarray],
+    variant: str = "yolov7",
+    conf_threshold: float = 0.01,
+    nms_threshold: float = 0.5,
+    max_detections: int = 100,
+    pre_nms_topk: int = 1024,
+) -> Detections:
+    """Decode + the reference postprocess chain. The v5 meta-arch uses
+    postprocessv5's obj-only gate (yolov5.py eval path)."""
+    boxes_cxcywh, obj_logits, cls_logits = decode_anchor_outputs(flat, variant)
+    return yolo_nms_postprocess(
+        cxcywh_to_xyxy(boxes_cxcywh),
+        jax.nn.sigmoid(obj_logits),
+        jax.nn.sigmoid(cls_logits),
+        conf_threshold=conf_threshold,
+        nms_threshold=nms_threshold,
+        max_detections=max_detections,
+        pre_nms_topk=pre_nms_topk,
+        v5_gate=(variant == "yolov5"),
     )
 
 

@@ -67,11 +67,14 @@ def sgd_with_groups(lr_schedule, cfg):
 
 def adamw_with_groups(lr_schedule, cfg):
     wd = cfg.SOLVER.WEIGHT_DECAY
+    mu_dtype = (
+        "bfloat16" if bool(getattr(cfg.SOLVER, "ADAM_BF16_STATE", False))
+        else None)
 
     def tx(params):
         decay_mask = make_mask(params, lambda p: not is_norm_or_bias(p))
         chain = [
-            optax.scale_by_adam(),
+            optax.scale_by_adam(mu_dtype=mu_dtype),
         ]
         if wd:
             chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
