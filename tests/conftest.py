@@ -30,9 +30,153 @@ assert jax.device_count() == 8, jax.devices()
 import pytest  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# Measured tier boundary (docs/TEST_TIERS.md).
+#
+# The fast tier (`pytest tests/ -m "not heavy"`) must finish in <15 min on a
+# 1-core host. The boundary below is set from a measured --durations=0 run of
+# the full previous tier (3720 s total; table committed in docs/TEST_TIERS.md),
+# NOT by guessing: every case >=8 s was individually kept or demoted. Kept
+# regardless of cost: all torch differential parity (ops / losses / targets /
+# grads-at-criterion-level / fast stack cases), the oracles, the driver-style
+# multichip dryrun, eval e2e parity, one full jitted train-step build
+# (YOLOX, the flagship), and the unique capability proofs (multi-host sim,
+# C++ PJRT client, deform-conv grads). Demoted to heavy: per-family full
+# train-step compiles (engine one-steps, trainer integration, canary-style
+# grads/overfit tests) and the backbone forwards whose fidelity is already
+# covered by the cheaper stack-parity differentials. The heavy tier is still
+# run (tools/chip_round*_batch.sh + the zoo sweep); "heavy" means excluded
+# from the <15-min gate, not untested.
+_MEASURED_HEAVY = {
+    "test_engine_build_system.py": [
+        # one_step[YOLOX] stays fast (flagship full-train-step build)
+        "test_build_system_one_step[YOLOV6]",
+        "test_build_system_one_step[DetrSegm]",
+        "test_build_system_one_step[YOLOMask]",
+        "test_build_system_one_step[YOLOX_KPTS]",
+        "test_build_system_one_step[SOLOv2]",
+        "test_build_system_one_step[YOLO]",
+        "test_build_system_one_step[YOLOF]",
+        "test_build_system_one_step[YOLOV7]",
+        "test_build_system_one_step[SparseInst]",
+        "test_build_system_one_step[Detr]",
+        "test_build_system_one_step[AnchorDetr]",
+        "test_build_system_one_step[YOLOV5]",
+    ],
+    "test_multidevice_depth.py": [
+        "test_loss_identical_1_vs_8_devices",
+        "test_model_axis_actually_shards_real_params",
+    ],
+    "test_trainer_integration.py": [
+        "test_trainer_end_to_end",
+        "test_multiscale_hook_advances_mapper",
+        "test_loss_decreases_on_overfit",
+    ],
+    "test_device_aug.py": [
+        "test_feeds_train_step",
+        "test_packed_photo_step_runs_and_disables",
+        "test_jit_shapes_and_bounds",
+    ],
+    "test_graft_entry.py": [
+        # driver-style dryrun stays fast; the device-count variants go heavy
+        "test_dryrun_multichip_16_devices",
+        "test_dryrun_multichip_4_devices",
+    ],
+    "test_detr.py": [
+        "test_detr_forward_loss_grads_tiny",
+        "test_set_criterion_finite_and_sensible",
+    ],
+    "test_mask_rcnn.py": [
+        "test_mask_rcnn_train_step_and_grads",
+        "test_panoptic_fpn_train_and_fusion",
+        "test_mask_rcnn_postprocess_contract",
+    ],
+    "test_lazyconfig_train.py": ["test_yolox_s_lazy_trains_without_run"],
+    "test_solov2.py": [
+        "test_solov2_loss_and_grads",
+        "test_solov2_dcn_tower",
+        "test_solov2_postprocess_contract",
+    ],
+    "test_yolox_model.py": [
+        "test_yolox_losses_prefilter_matches_full",
+        "test_prefilter_whole_image_gt_exact_when_obj_tracks_iou",
+        "test_loss_finite_and_differentiable",
+        "test_simota_prefilter_matches_full",
+        "test_simota_assigns_anchor_inside_gt",
+    ],
+    "test_meta_arch_zoo.py": [
+        "test_yolov6_forward_and_loss",
+        "test_yolof_forward_and_loss",
+        "test_yolox_kpts_forward_and_loss",
+    ],
+    "test_backbone_zoo.py": [
+        "test_efficientnet_b0",
+        "test_pvt_v2_b0",
+        "test_mobilevit",
+        "test_fbnet_v3_arch_table_parity",
+        "test_res2net50",
+        "test_swin_tiny",
+        "test_convnext_tiny",
+        "test_dlaup_pyramid",
+        "test_regnet_x400",
+        "test_efficientrep",
+        "test_fbnet",
+        "test_reppan",
+        "test_dlaseg_modes",
+        "test_bifpn_five_levels",
+        "test_dla34",
+        "test_fbnet_arch_def_literal_path",
+    ],
+    "test_anchor_yolo.py": [
+        "test_anchor_yolo_train_loss_and_grads",
+        "test_anchor_yolo_postprocess_contract",
+        "test_darknet53_shapes",
+        "test_v4_loss_branch",
+    ],
+    "test_detr_variants.py": ["test_variant_forward_loss_grads"],
+    "test_weight_port.py": [
+        "test_roundtrip_port_full_yolox",
+        "test_detr_attention_split_and_roundtrip",
+        "test_d2_resnet_roundtrip",
+    ],
+    "test_eval_pipeline.py": ["test_eval_round_trip"],
+    "test_sparseinst.py": [
+        "test_sparseinst_loss_decreases_on_overfit",
+        "test_sparseinst_forward_and_loss_grads",
+    ],
+    "test_seg_archs.py": [
+        "test_yolomask_forward_and_orien",
+        "test_detr_segm_forward",
+        "test_sem_seg_fpn_head",
+    ],
+    "test_torch_parity_stacks.py": [
+        "test_efficientnet_b0_activation_parity",
+        "test_swin_tiny_activation_parity",
+        "test_pvt_v2_b0_activation_parity",
+        "test_res2net_v1b_activation_parity",
+        "test_res2next50_activation_parity",
+    ],
+    "test_torch_parity_grads.py": [
+        # criterion-level grad differentials stay fast; the full-model port
+        # and the 3-step trajectory are the two expensive capstones
+        "test_yolox_full_model_param_grads",
+        "test_yolox_sgd_trajectory_3steps",
+    ],
+}
+
+
 def pytest_collection_modifyitems(config, items):
-    """Every ``slow`` test is also ``heavy``: the judge-runnable fast tier
-    is ``-m "not heavy"`` (see pytest.ini)."""
+    """Every ``slow`` test is also ``heavy``; additionally the measured
+    tier boundary above demotes individually-measured >=8 s cases so the
+    fast tier (`-m "not heavy"`) finishes in <15 min on a 1-core host."""
     for item in items:
         if item.get_closest_marker("slow") is not None:
             item.add_marker(pytest.mark.heavy)
+            continue
+        fname = os.path.basename(str(item.fspath))
+        for pat in _MEASURED_HEAVY.get(fname, ()):
+            base = item.name.split("[")[0]
+            if item.name == pat or base == pat or item.name.startswith(
+                    pat + "["):
+                item.add_marker(pytest.mark.heavy)
+                break
