@@ -111,3 +111,41 @@ def test_detr_postprocess_contract():
     assert dets.boxes.shape == (2, 5, 4)
     # cxcywh(0.5, 0.5, 0.5, 0.5) * 64 -> xyxy (16, 16, 48, 48)
     np.testing.assert_allclose(np.asarray(dets.boxes[0, 0]), [16, 16, 48, 48])
+
+
+def test_transformer_remat_is_identity():
+    """MODEL.DETR.REMAT (nn.remat over encoder/decoder layers) must be a
+    pure memory/recompute trade: identical params, identical outputs and
+    gradients vs the non-remat graph (docs/PERF.md round-5 batch-cliff
+    levers)."""
+    kw = dict(d_model=32, nhead=4, num_encoder_layers=2,
+              num_decoder_layers=2, dim_feedforward=64)
+    src = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 32))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 32))
+    q = jax.random.normal(jax.random.PRNGKey(3), (5, 32))
+
+    plain = Transformer(**kw)
+    remat = Transformer(remat=True, **kw)
+    v = plain.init(jax.random.PRNGKey(0), src, pos, q)
+    # same variable tree: remat must not change parameter structure
+    v2 = remat.init(jax.random.PRNGKey(0), src, pos, q)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    def loss(variables, mod):
+        hs, mem = mod.apply(variables, src, pos, q)
+        return jnp.sum(hs ** 2) + jnp.sum(mem ** 2)
+
+    l1, g1 = jax.value_and_grad(loss)(v, plain)
+    l2, g2 = jax.value_and_grad(loss)(v, remat)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    # gradients: the recomputed forward may fuse/round differently in f32,
+    # so compare at recompute-rounding tolerance normalized by the GLOBAL
+    # gradient scale (per-leaf scaling would amplify pure rounding noise on
+    # leaves whose true gradient is ~0, e.g. key-projection biases, which
+    # softmax shift-invariance zeroes mathematically)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    leaves2 = jax.tree_util.tree_leaves(g2)
+    gscale = max(float(np.abs(np.asarray(x)).max()) for x in leaves1)
+    for a, b in zip(leaves1, leaves2):
+        d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        assert d / gscale < 1e-4, (d, gscale)
