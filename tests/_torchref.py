@@ -583,6 +583,49 @@ def install_stubs() -> None:
 
     _stub("detectron2.config").configurable = configurable
     _stub("detectron2.config.config").configurable = configurable
+
+    # ---- detectron2.solver.build: the reference optimizer layer
+    # (yolov7/optimizer/build.py:9-12) imports reduce_param_groups +
+    # maybe_add_gradient_clipping. reduce_param_groups is a faithful
+    # transcription of detectron2 solver/build.py (test-only, by design —
+    # the optimizer differential drives the reference's OWN param-group
+    # builder through torch.optim, tests/test_torch_parity_optim.py).
+    from collections import defaultdict as _dd
+
+    def _expand_param_groups(params):
+        # per-parameter structure; later items overwrite earlier ones
+        ret = _dd(dict)
+        for item in params:
+            assert "params" in item
+            cur = {x: y for x, y in item.items() if x != "params"}
+            for param in item["params"]:
+                ret[param].update({"params": [param], **cur})
+        return list(ret.values())
+
+    def reduce_param_groups(params):
+        # merge groups with identical hyperparameters
+        params = _expand_param_groups(params)
+        groups = _dd(list)
+        for item in params:
+            cur = tuple((x, y) for x, y in item.items() if x != "params")
+            groups[cur].extend(item["params"])
+        ret = []
+        for param_keys, param_values in groups.items():
+            cur = {kv[0]: kv[1] for kv in param_keys}
+            cur["params"] = param_values
+            ret.append(cur)
+        return ret
+
+    def d2_maybe_add_gradient_clipping(cfg, optimizer):
+        if not cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+            return optimizer  # identity when disabled (the tested path)
+        raise NotImplementedError(
+            "stub: d2 clip-enabled path not needed by the parity tests")
+
+    _solver_build = _stub("detectron2.solver.build")
+    _solver_build.reduce_param_groups = reduce_param_groups
+    _solver_build.maybe_add_gradient_clipping = d2_maybe_add_gradient_clipping
+
     _ddu = _stub("detectron2.data")
     _det_utils = _stub("detectron2.data.detection_utils")
     _det_utils.convert_image_to_rgb = lambda img, fmt: img

@@ -449,8 +449,17 @@ def get_cfg() -> CfgNode:
     _C.SOLVER.MOMENTUM = 0.9
     _C.SOLVER.NESTEROV = True
     _C.SOLVER.WEIGHT_DECAY = 5e-4
+    # d2 semantics (detectron2 solver/build.py, driven by the reference's
+    # optimizer/build.py:120-171): None means "same as WEIGHT_DECAY".
+    # d2's defaults are NORM=0.0, BIAS=None — the reference trainers DO
+    # decay conv/dense biases at the base weight decay.
     _C.SOLVER.WEIGHT_DECAY_NORM = 0.0
-    _C.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+    _C.SOLVER.WEIGHT_DECAY_BIAS = None
+    _C.SOLVER.WEIGHT_DECAY_EMBED = 0.0
+    # per-group LR: bias factor (d2) + module-name multipliers (d2go,
+    # reference build.py:78-117, e.g. [{'backbone': 0.1}]).
+    _C.SOLVER.BIAS_LR_FACTOR = 1.0
+    _C.SOLVER.LR_MULTIPLIER_OVERWRITE = []
     _C.SOLVER.BACKBONE_MULTIPLIER = 1.0
     _C.SOLVER.AMSGRAD = False
     _C.SOLVER.GAMMA = 0.1
