@@ -61,6 +61,9 @@ class DETR(nn.Module):
         feats = ResNet(
             depth=self.resnet_depth,
             out_features=(self.backbone_feature,),
+            # every reference DETR config sets STRIDE_IN_1X1 False
+            # (torchvision R50: stride on the 3x3)
+            stride_in_1x1=False,
             dtype=self.dtype, name="backbone",
         )(x, train)
         f = feats[self.backbone_feature]

@@ -161,6 +161,9 @@ class AnchorDETR(nn.Module):
         std = jnp.asarray([57.375, 57.12, 58.395])
         x = ((images - mean) / std).astype(self.dtype)
         feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                       # every reference DETR config sets STRIDE_IN_1X1
+                       # False (torchvision R50: stride on the 3x3)
+                       stride_in_1x1=False,
                        dtype=self.dtype, name="backbone")(x, train)
         f = feats["res5"]
         b, h, w, _ = f.shape
@@ -338,6 +341,9 @@ class SMCADETR(nn.Module):
         std = jnp.asarray([57.375, 57.12, 58.395])
         x = ((images - mean) / std).astype(self.dtype)
         feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                       # every reference DETR config sets STRIDE_IN_1X1
+                       # False (torchvision R50: stride on the 3x3)
+                       stride_in_1x1=False,
                        dtype=self.dtype, name="backbone")(x, train)
         f = feats["res5"]
         b, h, w, _ = f.shape
@@ -417,6 +423,9 @@ class DABDETR(nn.Module):
         std = jnp.asarray([57.375, 57.12, 58.395])
         x = ((images - mean) / std).astype(self.dtype)
         feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                       # every reference DETR config sets STRIDE_IN_1X1
+                       # False (torchvision R50: stride on the 3x3)
+                       stride_in_1x1=False,
                        dtype=self.dtype, name="backbone")(x, train)
         f = feats["res5"]
         b, h, w, _ = f.shape
@@ -590,6 +599,8 @@ class DetrD2goModule(nn.Module):
             )
         else:
             feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                           # reference d2go DETR configs: STRIDE_IN_1X1 False
+                           stride_in_1x1=False,
                            dtype=self.dtype, name="backbone")(x, train)
             f = feats["res5"]
         b, h, w, _ = f.shape

@@ -239,6 +239,9 @@ class SparseInst(nn.Module):
     resnet_depth: int = 50
     resnet_vd: bool = False
     resnet_dcn: bool = False  # DCN in res4/res5 (sparse_inst_*_dcn configs)
+    # reference SparseInst backbones put the stride on the 3x3 conv
+    # (Base-SparseInst.yaml STRIDE_IN_1X1: False; resnetvd.py timm blocks)
+    resnet_stride_in_1x1: bool = False
     in_features: Sequence[str] = ("res3", "res4", "res5")
     scale_factor: float = 2.0
     dtype: Any = jnp.float32
@@ -254,8 +257,15 @@ class SparseInst(nn.Module):
         x = ((images - mean) / std).astype(self.dtype)
         feats = ResNet(
             depth=self.resnet_depth, vd=self.resnet_vd,
-            # vd = timm-style blocks: stride lives on the 3x3 conv
-            stride_in_1x1=not self.resnet_vd,
+            # the reference family ALWAYS puts the stride on the 3x3:
+            # Base-SparseInst.yaml sets STRIDE_IN_1X1: False for the d2
+            # builder, and build_resnet_vd_backbone (timm blocks) has no
+            # stride-in-1x1 at all. The round-5 full-model gradient
+            # differential caught the old `not resnet_vd` wiring: forward
+            # differs only ~2e-3 on random weights (it slipped under the
+            # Instances-level eval tolerance) but gradients at the strided
+            # stage-transition blocks were off by 10-70%.
+            stride_in_1x1=self.resnet_stride_in_1x1,
             deform_on_per_stage=(
                 (False, False, True, True) if self.resnet_dcn
                 else (False, False, False, False)
@@ -490,6 +500,11 @@ def build_sparseinst(cfg, dtype: Optional[Any] = None):
         encoder_channels=cfg.MODEL.SPARSE_INST.ENCODER.NUM_CHANNELS,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
         resnet_vd=cfg.MODEL.RESNETS.VD,
+        # vd (timm) blocks have no stride-in-1x1 notion; the d2-builder
+        # configs set it explicitly (Base-SparseInst.yaml: False)
+        resnet_stride_in_1x1=(
+            False if cfg.MODEL.RESNETS.VD
+            else cfg.MODEL.RESNETS.STRIDE_IN_1X1),
         resnet_dcn=any(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
         in_features=tuple(cfg.MODEL.SPARSE_INST.ENCODER.IN_FEATURES),
         scale_factor=dec.SCALE_FACTOR,
