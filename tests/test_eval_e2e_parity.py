@@ -151,13 +151,16 @@ def test_sparseinst_eval_e2e_parity():
     order_ref = np.argsort(-ref_scores)
     order_ours = np.argsort(-our_scores)
     # rescoring binarizes masks at 0.45: pixels whose sigmoid sits within
-    # the accumulated full-stack fp drift (~2e-4 logits) of the threshold
-    # flip sides, shifting maskness by O(flips/support) ~ 0.5%. The
-    # rescoring FORMULA itself is oracle-tested exactly in
-    # test_mask_fidelity; here the e2e chain tolerance covers the flips.
+    # the accumulated full-stack fp drift of the threshold flip sides,
+    # shifting maskness by O(flips/support). The rescoring FORMULA itself
+    # is oracle-tested exactly in test_mask_fidelity; here the e2e chain
+    # tolerance covers the flips. Round 5 tightened this from rtol=1.5e-2:
+    # the loose value had been absorbing the STRIDE_IN_1X1 mis-wiring
+    # (~2e-3 backbone drift) that the gradient differential later caught —
+    # with the backbone now bit-tight (6e-8), honest drift is ~1e-4.
     np.testing.assert_allclose(
-        our_scores[order_ours], ref_scores[order_ref], rtol=1.5e-2,
-        atol=1e-3, err_msg="final rescored scores diverge")
+        our_scores[order_ours], ref_scores[order_ref], rtol=1.5e-3,
+        atol=1e-4, err_msg="final rescored scores diverge")
     np.testing.assert_array_equal(
         our_classes[order_ours], ref_classes[order_ref],
         err_msg="final classes diverge")
