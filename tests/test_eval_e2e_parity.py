@@ -9,9 +9,10 @@ ending at Instances-level agreement.
     random-initialized, weights ported into our full SparseInst flax model;
     the reference's own ``SparseInst.inference`` runs on its outputs)
   * DETR: /root/reference/yolov7/modeling/meta_arch/detr.py:219-266
-    (softmax no-object drop, ignore_thresh filter, cxcywh->xyxy scale);
-    the transformer stack itself is parity-proven in
-    test_torch_parity_stacks.py::test_detr_transformer_stack_parity.
+    (softmax no-object drop, ignore_thresh filter, cxcywh->xyxy scale) —
+    both postprocess-only on shared head outputs AND the full
+    image->R50->transformer->Instances chain with ported weights
+    (test_detr_full_model_eval_e2e_parity).
 """
 
 from __future__ import annotations
@@ -221,6 +222,127 @@ def test_detr_eval_e2e_parity():
         np.testing.assert_allclose(
             bx[keep][o_ours], ref_boxes[o_ref], rtol=1e-4, atol=1e-3,
             err_msg="detr final boxes")
+
+
+def test_detr_full_model_eval_e2e_parity():
+    """image -> normalize -> R50 -> input_proj -> sine PE -> transformer
+    -> class/box heads -> ``Detr.inference``: final Instances agree.
+
+    Extends ``test_detr_eval_e2e_parity`` (postprocess on shared head
+    outputs) through the FULL reference eval forward
+    (meta_arch/detr.py:406-465 ``DETR.forward`` assembled exactly as
+    ``Detr.__init__`` does at detr.py:62-81: Joiner(MaskedBackbone,
+    PositionEmbeddingSine) + transformer + heads) vs our one flax DETR
+    with every weight ported. This is the rung whose absence let the
+    STRIDE_IN_1X1 mis-wiring hide for two rounds: the old DETR chain was
+    proven backbone / transformer / postprocess separately, never as one
+    image->Instances differential."""
+    import torch
+
+    install_stubs()
+    rv = ref_module("yolov7.modeling.backbone.resnetvd")
+    db = ref_module("yolov7.modeling.backbone.detr_backbone")
+    detr_mod = ref_module("yolov7.modeling.meta_arch.detr")
+    misc = ref_module("yolov7.utils.misc")
+
+    from yolov7_d2_tpu.models.meta_arch.detr import DETR, detr_postprocess
+
+    H = W = 96          # divisible by 32 -> zero padding, all-valid mask
+    D, HEADS, LAYERS, FF, Q, C = 64, 4, 3, 128, 10, 7
+
+    # reference: the d2 backbone stood in by resnetvd's plain ResNet —
+    # torchvision semantics (stride on the 3x3), which is exactly what
+    # every reference DETR config's STRIDE_IN_1X1 False selects.
+    class _MaskedR50(torch.nn.Module):
+        """MaskedBackbone (detr.py:297) for an unpadded batch."""
+
+        num_channels = 2048
+
+        def __init__(self):
+            super().__init__()
+            self.backbone = rv.ResNet(["bottleneck"] * 4, [3, 4, 6, 3])
+
+        def forward(self, tensor_list):
+            f = self.backbone(tensor_list.tensors)["res5"]
+            mask = torch.zeros(
+                (f.shape[0], f.shape[2], f.shape[3]), dtype=torch.bool)
+            return {"res5": misc.NestedTensor(f, mask)}
+
+    joiner = db.Joiner(
+        _MaskedR50(), db.PositionEmbeddingSine(D // 2, normalize=True))
+    joiner.num_channels = 2048
+    transformer_t = db.Transformer(
+        d_model=D, nhead=HEADS, num_encoder_layers=LAYERS,
+        num_decoder_layers=LAYERS, dim_feedforward=FF, dropout=0.0,
+        return_intermediate_dec=True)
+    ref_detr = detr_mod.DETR(
+        joiner, transformer_t, num_classes=C, num_queries=Q,
+        aux_loss=False).eval()
+    _randomize(ref_detr, 61)
+
+    ours_model = DETR(num_classes=C, hidden_dim=D, num_queries=Q,
+                      nheads=HEADS, enc_layers=LAYERS, dec_layers=LAYERS,
+                      dim_feedforward=FF, dropout=0.0, resnet_depth=50)
+    rng = np.random.default_rng(62)
+    img = rng.uniform(0, 255, (1, 3, H, W)).astype(np.float32)
+    variables = ours_model.init(jax.random.PRNGKey(0), _nhwc(img))
+
+    sd = _state_np(ref_detr)
+    trunk_sd = {k[len("backbone.0.backbone."):]: v for k, v in sd.items()
+                if k.startswith("backbone.0.backbone.")}
+    rest_sd = {k: v for k, v in sd.items() if not k.startswith("backbone.")}
+    variables, report = wp.port_torch_state_dict(
+        trunk_sd, variables,
+        name_mapper=lambda n: ("backbone",)
+        + wp.map_resnetvd_plain_torch_name(n))
+    assert not report["unused"], report["unused"][:5]
+    variables, report = wp.port_detr_state_dict(
+        rest_sd, variables, num_heads=HEADS)
+    assert not report["unused"], report["unused"][:5]
+
+    mean = np.array([103.53, 116.28, 123.675], np.float32)
+    std = np.array([57.375, 57.12, 58.395], np.float32)
+    x_norm = (img - mean[None, :, None, None]) / std[None, :, None, None]
+    with torch.no_grad():
+        samples = misc.NestedTensor(
+            torch.from_numpy(x_norm), torch.zeros((1, H, W), dtype=torch.bool))
+        output = ref_detr(samples)
+
+    ref = object.__new__(detr_mod.Detr)
+    torch.nn.Module.__init__(ref)
+    ref.ignore_thresh = 0.05
+    ref.mask_on = False
+    with torch.no_grad():
+        results = ref.inference(
+            output["pred_logits"], output["pred_boxes"], None, [(H, W)])
+
+    out = ours_model.apply(variables, _nhwc(img))
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), output["pred_logits"].numpy(),
+        rtol=1e-3, atol=1e-4, err_msg="full-model pred_logits diverge")
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]), output["pred_boxes"].numpy(),
+        rtol=1e-3, atol=1e-5, err_msg="full-model pred_boxes diverge")
+
+    det = detr_postprocess(out, (H, W), max_detections=Q)
+    inst = results[0]
+    ref_scores = inst.scores.numpy()
+    ref_classes = inst.pred_classes.numpy()
+    ref_boxes = inst.pred_boxes.tensor.numpy()
+    sc = np.asarray(det.scores[0])
+    cl = np.asarray(det.classes[0])
+    bx = np.asarray(det.boxes[0])
+    keep = sc > ref.ignore_thresh
+    assert keep.sum() == len(ref_scores)
+    o_ours = np.argsort(-sc[keep])
+    o_ref = np.argsort(-ref_scores)
+    np.testing.assert_allclose(
+        sc[keep][o_ours], ref_scores[o_ref], rtol=1e-4, atol=1e-5,
+        err_msg="detr full-model final scores")
+    np.testing.assert_array_equal(cl[keep][o_ours], ref_classes[o_ref])
+    np.testing.assert_allclose(
+        bx[keep][o_ours], ref_boxes[o_ref], rtol=1e-4, atol=1e-3,
+        err_msg="detr full-model final boxes")
 
 
 def test_solov2_eval_e2e_parity():
