@@ -157,10 +157,12 @@ _MEASURED_HEAVY = {
         "test_res2next50_activation_parity",
     ],
     "test_torch_parity_grads.py": [
-        # criterion-level grad differentials stay fast; the full-model port
-        # and the 3-step trajectory are the two expensive capstones
+        # criterion-level grad differentials stay fast; the full-model
+        # ports and the 3-step trajectory are the expensive capstones
         "test_yolox_full_model_param_grads",
         "test_yolox_sgd_trajectory_3steps",
+        "test_sparseinst_full_model_param_grads",
+        "test_detr_full_model_param_grads",
     ],
 }
 
