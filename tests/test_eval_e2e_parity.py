@@ -582,3 +582,47 @@ def test_yolo_postprocess_v5_v7_parity(v5):
         np.testing.assert_allclose(
             np.asarray(ours.boxes[b])[:n], ref_boxes, rtol=1e-5, atol=1e-4,
             err_msg=f"v5={v5} boxes diverge")
+
+
+def test_anchor_detr_eval_e2e_parity():
+    """Reference focal-variant inference — sigmoid + top-100 over all
+    (query, class) pairs + gather + cxcywh->xyxy scale — shared verbatim
+    by AnchorDetr (anchor_detr.py:250), SMCA (smca_detr.py:216) and
+    DetrD2go's use_focal_loss branch (detr_d2go.py:465) — vs our
+    anchor_detr_postprocess on identical head outputs."""
+    import torch
+
+    install_stubs()
+    ad_mod = ref_module("yolov7.modeling.meta_arch.anchor_detr")
+    from yolov7_d2_tpu.models.meta_arch.detr_variants import (
+        anchor_detr_postprocess)
+
+    rng = np.random.default_rng(91)
+    B, Q, C = 2, 24, 7          # Q*C = 168 >= the hardcoded top-100
+    H, W = 128, 160
+    logits = rng.normal(size=(B, Q, C)).astype(np.float32)
+    boxes = 1.0 / (1.0 + np.exp(-rng.normal(size=(B, Q, 4)))).astype(
+        np.float32)
+
+    ref = object.__new__(ad_mod.AnchorDetr)
+    torch.nn.Module.__init__(ref)
+    ref.mask_on = False
+    with torch.no_grad():
+        results = ref.inference(
+            torch.from_numpy(logits), torch.from_numpy(boxes), None,
+            [(H, W), (H, W)])
+
+    det = anchor_detr_postprocess(
+        {"pred_logits": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)},
+        (H, W), max_detections=100)
+
+    for b in range(B):
+        inst = results[b]
+        np.testing.assert_allclose(
+            np.asarray(det.scores[b]), inst.scores.numpy(),
+            rtol=1e-6, atol=1e-7, err_msg="anchor-detr top-100 scores")
+        np.testing.assert_array_equal(
+            np.asarray(det.classes[b]), inst.pred_classes.numpy())
+        np.testing.assert_allclose(
+            np.asarray(det.boxes[b]), inst.pred_boxes.tensor.numpy(),
+            rtol=1e-5, atol=1e-4, err_msg="anchor-detr top-100 boxes")
