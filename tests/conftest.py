@@ -163,6 +163,7 @@ _MEASURED_HEAVY = {
         "test_yolox_sgd_trajectory_3steps",
         "test_sparseinst_full_model_param_grads",
         "test_detr_full_model_param_grads",
+        "test_yolof_full_model_param_grads",
     ],
 }
 

@@ -1140,3 +1140,228 @@ def test_detr_full_model_param_grads():
         _assert_grad_close(ours_a, ref_a, name, rtol=2e-2, atol_scale=2e-3)
     print(f"detr worst per-parameter gradient rel-err: "
           f"{worst[0]:.2e} at {worst[1]}")
+
+# ---------------------------------------------------------------------------
+# YOLOF: full-model per-parameter gradients (R50 -> DilatedEncoder -> Decoder)
+# ---------------------------------------------------------------------------
+
+def test_yolof_full_model_param_grads():
+    """torch loss.backward() through the reference's full YOLOF train path
+    (R50 -> DilatedEncoder -> Decoder with the implicit-objectness fold,
+    /root/reference/yolov7/modeling/head/{encoder,decoder}.py, + the
+    YOLOF criterion with its no-grad UniformMatcher boundary,
+    meta_arch/yolof.py:326-431) vs jax.grad through our weight-ported
+    full YOLOF + yolof_losses: per-parameter agreement. Completes the
+    full-model gradient ladder (YOLOX r4, SparseInst/DETR r5) for every
+    family the round-4 review named. The criterion-input grad test above
+    pins d(loss)/d(head outputs); this one additionally pins the fold's
+    log(1+e^cls+e^obj) backward and the encoder/decoder BN boundaries."""
+    import types as _types
+
+    import torch
+
+    install_stubs()
+    rv = ref_module("yolov7.modeling.backbone.resnetvd")
+    re_enc = ref_module("yolov7.modeling.head.encoder")
+    re_dec = ref_module("yolov7.modeling.head.decoder")
+    yolof_mod = ref_module("yolov7.modeling.meta_arch.yolof")
+    um = ref_module("yolov7.modeling.head.uniform_matcher")
+    br = ref_module("yolov7.modeling.head.box_regression")
+    from detectron2.structures import Boxes
+
+    import yolov7_d2_tpu.utils.weight_port as wp
+    from yolov7_d2_tpu.models.meta_arch.yolof import (
+        YOLOF, decode_deltas, uniform_match, yolof_anchors, yolof_losses)
+
+    H = W = 96
+    B, C, NA = 2, 7, 5
+    gt_counts = (3, 2)
+
+    ns = lambda **kw: _types.SimpleNamespace(**kw)  # noqa: E731
+    cfg = ns(MODEL=ns(YOLOF=ns(
+        ENCODER=ns(BACKBONE_LEVEL="res5", IN_CHANNELS=2048, NUM_CHANNELS=64,
+                   BLOCK_MID_CHANNELS=16, NUM_RESIDUAL_BLOCKS=4,
+                   BLOCK_DILATIONS=[2, 4, 6, 8], NORM="BN",
+                   ACTIVATION="ReLU"),
+        DECODER=ns(IN_CHANNELS=64, NUM_CLASSES=C, NUM_ANCHORS=NA,
+                   CLS_NUM_CONVS=2, REG_NUM_CONVS=4, NORM="BN",
+                   ACTIVATION="ReLU", PRIOR_PROB=0.01),
+    )))
+
+    def _rand(module, seed):
+        g = torch.Generator().manual_seed(seed)
+        with torch.no_grad():
+            for p in module.parameters():
+                p.copy_(torch.empty_like(p).uniform_(
+                    -0.1, 0.1, generator=g))
+            for m in module.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.5, 0.5, generator=g)
+                    m.running_var.uniform_(0.5, 1.5, generator=g)
+
+    class _Shape:
+        channels = 2048
+
+    backbone_t = rv.ResNet(["bottleneck"] * 4, [3, 4, 6, 3]).eval()
+    _rand(backbone_t, 81)
+    encoder_t = re_enc.DilatedEncoder(cfg, {"res5": _Shape()}).eval()
+    _rand(encoder_t, 82)
+    decoder_t = re_dec.Decoder(cfg).eval()
+    _rand(decoder_t, 83)
+
+    # resnetvd's plain bottleneck strides on the 3x3 (torchvision style),
+    # so the flax side is built stride_in_1x1=False for this differential;
+    # build_yolof's d2-default True path is covered by the stacks parity
+    ours_model = YOLOF(num_classes=C, resnet_depth=50, encoder_channels=64,
+                       num_anchors=NA, stride_in_1x1=False)
+    rng = np.random.RandomState(84)
+    img = rng.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+    x_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    variables = ours_model.init(jax.random.PRNGKey(0), x_nhwc)
+
+    ports = (
+        (backbone_t, wp.map_resnetvd_plain_torch_name, "backbone"),
+        (encoder_t, wp.map_yolof_encoder_torch_name, "encoder"),
+        (decoder_t, wp.map_yolof_decoder_torch_name, "decoder"),
+    )
+    for tm, mapper, prefix in ports:
+        sd_np = {k: v.detach().numpy().copy()
+                 for k, v in tm.state_dict().items()}
+        variables, report = wp.port_torch_state_dict(
+            sd_np, variables,
+            name_mapper=lambda n, m=mapper, p=prefix: (p,) + m(n))
+        assert not report["unused"], (prefix, report["unused"][:5])
+
+    # the scene: pixel-space gt on a 96x96 image (res5 3x3 -> 45 anchors)
+    Gmax = max(gt_counts)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    targets = []
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(24, W - 24, size=(g, 2))
+        wh = rng.uniform(20, 60, size=(g, 2))
+        boxes = np.concatenate(
+            [cxcy - wh / 2, cxcy + wh / 2], -1).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        gt_boxes[b, :g], gt_classes[b, :g], gt_valid[b, :g] = boxes, cls, True
+        targets.append(SimpleNamespace(
+            gt_boxes=Boxes(_t(boxes)),
+            gt_classes=_t(cls.astype(np.int64))))
+
+    anchors_np = yolof_anchors(H // 32, W // 32, stride=32)
+    A = anchors_np.shape[0]
+    anchors_t = _t(anchors_np)
+
+    # reference train forward (grad ENABLED end-to-end; the matcher runs
+    # no-grad exactly as get_ground_truth does, yolof.py:424-434)
+    mean = np.array([103.53, 116.28, 123.675], np.float32)
+    std = np.array([57.375, 57.12, 58.395], np.float32)
+    x_norm = (img - mean[None, :, None, None]) / std[None, :, None, None]
+    for tm, _, _ in ports:
+        tm.zero_grad(set_to_none=False)
+    feats = backbone_t(torch.from_numpy(x_norm))["res5"]
+    enc = encoder_t(feats)
+    cls_raw, reg_raw = decoder_t(enc)
+    logits_t = yolof_mod.permute_to_N_HWA_K(cls_raw, C)
+    deltas_t = yolof_mod.permute_to_N_HWA_K(reg_raw, 4)
+
+    ref = object.__new__(yolof_mod.YOLOF)
+    torch.nn.Module.__init__(ref)
+    ref.num_classes = C
+    ref.focal_loss_alpha = 0.25
+    ref.focal_loss_gamma = 2.0
+    ref.neg_ignore_thresh = 0.7
+    ref.pos_ignore_thresh = 0.15
+    ref.box2box_transform = br.YOLOFBox2BoxTransform(
+        weights=(1.0, 1.0, 1.0, 1.0))
+    ref.matcher = um.UniformMatcher(4)
+    with torch.no_grad():
+        pred_boxes_m = ref.box2box_transform.apply_deltas(
+            deltas_t.detach().reshape(-1, 4),
+            anchors_t[None].repeat(B, 1, 1).reshape(-1, 4),
+        ).reshape(B, A, 4)
+        indices = ref.matcher(
+            pred_boxes_m, anchors_t[None].repeat(B, 1, 1), targets)
+    ref_losses = ref.losses(
+        indices, targets, [[Boxes(anchors_t)] for _ in range(B)],
+        [logits_t], [deltas_t])
+    ref_total = ref_losses["loss_cls"] + ref_losses["loss_box_reg"]
+    ref_total.backward()
+
+    # precondition: both matchers picked the same occurrence multiset (a
+    # near-tied top-k row flipped by deep-stack fp32 forward noise would
+    # make the gradient comparison vacuous — pick another scene seed)
+    out_check = ours_model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, x_nhwc)
+    pred_boxes_ours = decode_deltas(
+        jnp.asarray(anchors_np)[None], out_check["deltas"])
+    m_check = jax.vmap(
+        lambda pb, gb, gv: uniform_match(
+            pb, jnp.asarray(anchors_np), gb, gv, num_classes=C)
+    )(pred_boxes_ours, jnp.asarray(gt_boxes), jnp.asarray(gt_valid))
+    for b, g in enumerate(gt_counts):
+        src, tgt = indices[b]
+        ref_pairs = sorted(zip(np.asarray(src).tolist(),
+                               np.asarray(tgt).tolist()))
+        occ_a = np.asarray(m_check["occ_anchor"][b])
+        occ_g = np.asarray(m_check["occ_gt"][b])
+        occ_v = np.asarray(m_check["occ_valid"][b])
+        our_pairs = sorted((int(a), int(t))
+                           for a, t, v in zip(occ_a, occ_g, occ_v) if v)
+        assert ref_pairs == our_pairs, (
+            f"matcher occurrences diverged on image {b}: "
+            f"ref {ref_pairs} ours {our_pairs}")
+
+    batch = {"gt_boxes": jnp.asarray(gt_boxes),
+             "gt_classes": jnp.asarray(gt_classes),
+             "gt_valid": jnp.asarray(gt_valid)}
+
+    def loss_fn(params):
+        out = ours_model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x_nhwc)
+        return yolof_losses(out, batch, num_classes=C)["total_loss"]
+
+    ours_total, g_ours = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(
+        float(ours_total), float(ref_total.detach()), rtol=5e-4,
+        err_msg="total loss diverged before comparing grads")
+
+    tmpl = {
+        "params": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32),
+            variables["params"]),
+        "batch_stats": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32),
+            variables["batch_stats"]),
+    }
+    gport = tmpl
+    for tm, mapper, prefix in ports:
+        grad_sd = {
+            k: (p.grad if p.grad is not None else torch.zeros_like(p))
+            .detach().numpy().copy()
+            for k, p in tm.named_parameters()
+        }
+        gport, report = wp.port_torch_state_dict(
+            grad_sd, gport,
+            name_mapper=lambda n, m=mapper, p=prefix: (p,) + m(n))
+        assert not report["unused"], (prefix, report["unused"][:5])
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(gport["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(g_ours)[0]
+    assert len(flat_ref) == len(flat_ours)
+    worst = (0.0, "")
+    for (path_r, leaf_r), (path_o, leaf_o) in zip(flat_ref, flat_ours):
+        name = jax.tree_util.keystr(path_o)
+        assert path_r == path_o, (path_r, path_o)
+        ref_a = np.asarray(leaf_r, np.float64)
+        ours_a = np.asarray(leaf_o, np.float64)
+        scale_ = max(float(np.abs(ref_a).max()), 1e-10)
+        rel = float(np.max(np.abs(ours_a - ref_a))) / scale_
+        if rel > worst[0]:
+            worst = (rel, name)
+        _assert_grad_close(ours_a, ref_a, name, rtol=2e-2, atol_scale=2e-3)
+    print(f"yolof worst per-parameter gradient rel-err: "
+          f"{worst[0]:.2e} at {worst[1]}")

@@ -159,6 +159,11 @@ class YOLOF(nn.Module):
     resnet_depth: int = 50
     encoder_channels: int = 512
     num_anchors: int = 5
+    # d2 build_resnet_backbone defaults (Base-YOLOF.yaml never overrides
+    # MODEL.RESNETS.NORM / STRIDE_IN_1X1, so the reference trains with
+    # FrozenBN + caffe-style stride on the 1x1)
+    frozen_bn: bool = True
+    stride_in_1x1: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,6 +172,8 @@ class YOLOF(nn.Module):
         std = jnp.asarray([57.375, 57.12, 58.395])
         x = ((images - mean) / std).astype(self.dtype)
         feats = ResNet(depth=self.resnet_depth, out_features=("res5",),
+                       frozen_bn=self.frozen_bn,
+                       stride_in_1x1=self.stride_in_1x1,
                        dtype=self.dtype, name="backbone")(x, train)
         enc = DilatedEncoder(self.encoder_channels, dtype=self.dtype,
                              name="encoder")(feats["res5"], train)
@@ -312,6 +319,8 @@ def build_yolof(cfg, dtype: Optional[Any] = None):
     return YOLOF(
         num_classes=cfg.MODEL.YOLO.CLASSES,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        frozen_bn=(cfg.MODEL.RESNETS.NORM == "FrozenBN"),
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         dtype=dtype,
     )
 
