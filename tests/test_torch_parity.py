@@ -258,6 +258,13 @@ def test_efficientrep_activation_parity():
         out_features=["stride8", "stride16", "stride32"],
     ).eval()
     _randomize(tm, seed=5)
+    # the assembled reference meta-arch re-inits every BN to eps=1e-3,
+    # momentum=0.03 (yolov6.py:107-111 _init_model) — standalone torch
+    # defaults (1e-5) never occur in a trained reference model
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eps = 1e-3
+            m.momentum = 0.03
 
     fm = EfficientRep(width_mul=width, depth_mul=depth)
     x = np.random.default_rng(5).uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)

@@ -1365,3 +1365,240 @@ def test_yolof_full_model_param_grads():
         _assert_grad_close(ours_a, ref_a, name, rtol=2e-2, atol_scale=2e-3)
     print(f"yolof worst per-parameter gradient rel-err: "
           f"{worst[0]:.2e} at {worst[1]}")
+
+# ---------------------------------------------------------------------------
+# YOLOv6: criterion-input gradients + full-model per-parameter gradients
+# ---------------------------------------------------------------------------
+
+def _v6_scene(rng, B, C, img, level_hw, strides_l, gt_counts, Gmax):
+    """Raw per-level outputs + normalized targets (the reference's format,
+    yolov6_head.py:330 scales them back by feat*stride in-place) + our
+    static-shape gt arrays, one scene for both sides."""
+    A = sum(h * w for h, w in level_hw)
+    raw = rng.randn(B, A, 5 + C).astype(np.float32) * 0.5
+    grids, stride_v = [], []
+    for (h, w), s in zip(level_hw, strides_l):
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        grids.append(np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32))
+        stride_v.append(np.full((h * w,), s, np.float32))
+    grids = np.concatenate(grids)
+    stride_v = np.concatenate(stride_v)
+
+    targets = np.zeros((B, Gmax, 5), np.float32)
+    gt_boxes = np.zeros((B, Gmax, 4), np.float32)
+    gt_classes = np.zeros((B, Gmax), np.int32)
+    gt_valid = np.zeros((B, Gmax), bool)
+    for b, g in enumerate(gt_counts):
+        cxcy = rng.uniform(12, img - 12, size=(g, 2)).astype(np.float32)
+        wh = rng.uniform(8, 30, size=(g, 2)).astype(np.float32)
+        cls = rng.randint(0, C, size=(g,))
+        targets[b, :g, 0] = cls
+        targets[b, :g, 1:3] = cxcy / img
+        targets[b, :g, 3:5] = wh / img
+        gt_boxes[b, :g, 0:2] = cxcy - wh / 2
+        gt_boxes[b, :g, 2:4] = cxcy + wh / 2
+        gt_classes[b, :g] = cls
+        gt_valid[b, :g] = True
+    return raw, grids, stride_v, targets, (gt_boxes, gt_classes, gt_valid)
+
+
+def test_yolov6_criterion_input_grads(capsys):
+    """d(ComputeLoss total)/d(raw per-level outputs)
+    (yolov6_head.py:315-530) vs jax.grad of yolov6_losses — pins the v6
+    SimOTA no-grad boundary (get_assignments @torch.no_grad) and the
+    5*ciou + l1 + obj + cls composition."""
+    import torch
+
+    install_stubs()
+    ref_mod = ref_module("yolov7.modeling.head.yolov6_head")
+    from yolov7_d2_tpu.models.meta_arch.yolov6 import yolov6_losses
+
+    rng = np.random.RandomState(23)
+    B, C, img = 2, 7, 64
+    level_hw = [(8, 8), (4, 4), (2, 2)]
+    strides_l = [8, 16, 32]
+    raw, grids, stride_v, targets, gt = _v6_scene(
+        rng, B, C, img, level_hw, strides_l, (3, 2), 4)
+
+    ref_levels, leaves = [], []
+    off = 0
+    for (h, w), s in zip(level_hw, strides_l):
+        leaf = _t(raw[:, off:off + h * w]
+                  .reshape(B, 1, h, w, 5 + C).copy(), requires_grad=True)
+        leaves.append(leaf)
+        # the reference decodes IN-PLACE on its level tensors
+        # (yolov6_head.py:551) — hand it a non-leaf clone so autograd
+        # permits the mutation while grads still flow to the leaf
+        ref_levels.append(leaf.clone())
+        off += h * w
+
+    cl = ref_mod.ComputeLoss(iou_type="ciou")
+    ref_total, _ = cl(ref_levels, _t(targets))
+    ref_total.backward()
+    capsys.readouterr()   # the reference prints targets (debug residue)
+
+    def f(r):
+        l = yolov6_losses(
+            {"outputs": r, "grids": jnp.asarray(grids),
+             "strides": jnp.asarray(stride_v)},
+            {"gt_boxes": jnp.asarray(gt[0]),
+             "gt_classes": jnp.asarray(gt[1]),
+             "gt_valid": jnp.asarray(gt[2])},
+            num_classes=C)
+        return l["total_loss"]
+
+    g_raw = jax.grad(f)(jnp.asarray(raw))
+    off = 0
+    for li, ((h, w), leaf) in enumerate(zip(level_hw, leaves)):
+        g_ref = leaf.grad.numpy().reshape(B, h * w, 5 + C)
+        _assert_grad_close(
+            np.asarray(g_raw[:, off:off + h * w]), g_ref,
+            f"v6 d/d_raw level {li}")
+        off += h * w
+
+
+def test_yolov6_full_model_param_grads(capsys):
+    """torch loss.backward() through the reference's full YOLOv6 train
+    path — EfficientRep -> RepPANNeck -> EffiDeHead (training-mode output
+    format, effidehead.py:74-86) -> ComputeLoss, with every BN re-inited
+    to the assembled-model eps=1e-3/momentum=0.03 exactly as
+    meta_arch/yolov6.py:107-111 does — vs jax.grad through our
+    weight-ported YOLOV6 + yolov6_losses, per-parameter. Train-mode BN on
+    both sides (batch statistics), like the YOLOX capstone."""
+    import torch
+
+    install_stubs()
+    er = ref_module("yolov7.modeling.backbone.efficientrep")
+    rp = ref_module("yolov7.modeling.neck.reppan")
+    eh = ref_module("yolov7.modeling.head.effidehead")
+    ref_mod = ref_module("yolov7.modeling.head.yolov6_head")
+
+    import yolov7_d2_tpu.utils.weight_port as wp
+    from yolov7_d2_tpu.models.backbones.efficientrep import make_divisible
+    from yolov7_d2_tpu.models.meta_arch.yolov6 import YOLOV6, yolov6_losses
+
+    width, depth = 0.25, 0.33
+    B, C, img = 2, 7, 64
+    backbone_plan = [64, 128, 256, 512, 1024]
+    neck_plan = [256, 128, 128, 256, 256, 512]
+    reps_plan = [1, 6, 12, 18, 6] + [12, 12, 12, 12]
+    channels = [make_divisible(c * width) for c in backbone_plan + neck_plan]
+    repeats = [max(round(r * depth), 1) if r > 1 else r for r in reps_plan]
+
+    backbone_t = er.EfficientRep(
+        channels_list=channels, num_repeats=repeats,
+        out_features=["stride8", "stride16", "stride32"])
+    neck_t = rp.RepPANNeck(
+        channels_list=channels, num_repeats=repeats,
+        in_features=["stride8", "stride16", "stride32"])
+    layers = eh.build_effidehead_layer(channels, 1, C)
+    head_t = eh.EffiDeHead(C, anchors=1, num_layers=3, head_layers=layers)
+
+    def _rand(module, seed):
+        g = torch.Generator().manual_seed(seed)
+        with torch.no_grad():
+            for p in module.parameters():
+                p.copy_(torch.empty_like(p).uniform_(
+                    -0.1, 0.1, generator=g))
+        # assembled-model BN semantics (yolov6.py:107-111 _init_model)
+        for m in module.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.eps = 1e-3
+                m.momentum = 0.03
+
+    for tm, seed in ((backbone_t, 91), (neck_t, 92), (head_t, 93)):
+        _rand(tm, seed)
+        tm.train()
+
+    ours_model = YOLOV6(num_classes=C, width_mul=width, depth_mul=depth)
+    rng = np.random.RandomState(94)
+    x = rng.uniform(0, 255, (B, 3, img, img)).astype(np.float32)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = ours_model.init(jax.random.PRNGKey(0), x_nhwc)
+
+    ports = (
+        (backbone_t, "backbone",
+         lambda sd, v: wp.port_torch_state_dict(
+             sd, v, name_mapper=lambda n:
+             ("backbone",) + wp.map_efficientrep_torch_name(n))),
+        (neck_t, "neck",
+         lambda sd, v: wp.port_reppan_state_dict(
+             sd, v, prefix=("neck",))),
+        (head_t, "head",
+         lambda sd, v: wp.port_torch_state_dict(
+             sd, v, name_mapper=lambda n:
+             ("head",) + wp.map_effidehead_torch_name(n))),
+    )
+    for tm, prefix, port in ports:
+        sd_np = {k: v.detach().numpy().copy()
+                 for k, v in tm.state_dict().items()
+                 if "num_batches_tracked" not in k}
+        variables, report = port(sd_np, variables)
+        assert not report["unused"], (prefix, report["unused"][:5])
+
+    raw_, grids, stride_v, targets, gt = _v6_scene(
+        np.random.RandomState(95), B, C, img,
+        [(8, 8), (4, 4), (2, 2)], [8, 16, 32], (3, 2), 4)
+    del raw_  # the raw outputs come from the real forward here
+
+    for tm, _, _ in ports:
+        tm.zero_grad(set_to_none=False)
+    feats = backbone_t(torch.from_numpy(x))
+    pan = list(neck_t(feats))
+    out_levels = head_t(pan)            # training format [B,1,H,W,5+C]
+    cl = ref_mod.ComputeLoss(iou_type="ciou")
+    ref_total, _ = cl(out_levels, _t(targets))
+    ref_total.backward()
+    capsys.readouterr()   # the reference prints targets (debug residue)
+
+    def loss_fn(params):
+        out, _ = ours_model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x_nhwc, train=True, mutable=["batch_stats"])
+        l = yolov6_losses(
+            out,
+            {"gt_boxes": jnp.asarray(gt[0]),
+             "gt_classes": jnp.asarray(gt[1]),
+             "gt_valid": jnp.asarray(gt[2])},
+            num_classes=C)
+        return l["total_loss"]
+
+    ours_total, g_ours = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(
+        float(ours_total), float(ref_total.detach()), rtol=5e-4,
+        err_msg="total loss diverged before comparing grads")
+
+    tmpl = {
+        "params": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32),
+            variables["params"]),
+        "batch_stats": jax.tree.map(
+            lambda a: np.zeros(np.shape(a), np.float32),
+            variables["batch_stats"]),
+    }
+    gport = tmpl
+    for tm, prefix, port in ports:
+        grad_sd = {
+            k: (p.grad if p.grad is not None else torch.zeros_like(p))
+            .detach().numpy().copy()
+            for k, p in tm.named_parameters()
+        }
+        gport, report = port(grad_sd, gport)
+        assert not report["unused"], (prefix, report["unused"][:5])
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(gport["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(g_ours)[0]
+    assert len(flat_ref) == len(flat_ours)
+    worst = (0.0, "")
+    for (path_r, leaf_r), (path_o, leaf_o) in zip(flat_ref, flat_ours):
+        name = jax.tree_util.keystr(path_o)
+        assert path_r == path_o, (path_r, path_o)
+        ref_a = np.asarray(leaf_r, np.float64)
+        ours_a = np.asarray(leaf_o, np.float64)
+        scale_ = max(float(np.abs(ref_a).max()), 1e-10)
+        rel = float(np.max(np.abs(ours_a - ref_a))) / scale_
+        if rel > worst[0]:
+            worst = (rel, name)
+        _assert_grad_close(ours_a, ref_a, name, rtol=2e-2, atol_scale=2e-3)
+    print(f"yolov6 worst per-parameter gradient rel-err: "
+          f"{worst[0]:.2e} at {worst[1]}")

@@ -310,6 +310,16 @@ def test_convnext_tiny_activation_parity():
 # RepPAN neck + EffiDeHead (neck/reppan.py:6, head/effidehead.py:7)
 # ---------------------------------------------------------------------------
 
+def _v6_assembled_bn(tm):
+    """The assembled reference meta-arch re-inits every BN to eps=1e-3,
+    momentum=0.03 (yolov6.py:107-111 _init_model); standalone torch
+    defaults (1e-5) never occur in a trained reference model."""
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eps = 1e-3
+            m.momentum = 0.03
+
+
 def _v6_channels(width=0.25, depth=0.33):
     from yolov7_d2_tpu.models.backbones.efficientrep import make_divisible
 
@@ -331,6 +341,7 @@ def test_reppan_activation_parity():
                        in_features=["stride8", "stride16", "stride32"]
                        ).eval()
     _randomize(tm, seed=71)
+    _v6_assembled_bn(tm)
 
     rng = np.random.default_rng(71)
     c3 = rng.normal(size=(2, channels[2], 16, 16)).astype(np.float32)
@@ -368,6 +379,7 @@ def test_effidehead_decode_parity():
     tm = eh.EffiDeHead(num_classes, anchors=1, num_layers=3,
                        head_layers=layers).eval()
     _randomize(tm, seed=81)
+    _v6_assembled_bn(tm)
 
     rng = np.random.default_rng(81)
     f0 = rng.normal(size=(2, channels[6], 8, 8)).astype(np.float32)

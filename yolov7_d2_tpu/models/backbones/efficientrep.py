@@ -4,6 +4,12 @@ Parity with /root/reference/yolov7/modeling/backbone/efficientrep.py
 (``build_efficientrep_backbone:492``, ``build_efficientrep_tiny:517``):
 RepVGG stem + per-stage RepBlock stacks + SPPF at stride 32. Deploy-time
 3-branch fusion lives in utils/checkpoint (rep-param conv fuse).
+
+BN eps/momentum are the ASSEMBLED-model values (1e-3 / torch 0.03): the
+standalone reference modules keep torch BatchNorm2d defaults (eps 1e-5),
+but every assembled reference meta-arch overwrites them via ``_init_model``
+(meta_arch/yolov6.py:107-111, yolox.py:82-90) — so a checkpoint trained
+with the reference always carries 1e-3 statistics.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ class RepBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.n):
-            x = RepVGGBlock(self.channels, 1, bn_eps=1e-5, dtype=self.dtype,
+            x = RepVGGBlock(self.channels, 1, dtype=self.dtype,
                             name=f"rep_{i}")(x, train)
         return x
 
@@ -54,15 +60,15 @@ class EfficientRep(nn.Module):
             max(round(r * self.depth_mul), 1) if r > 1 else r
             for r in self.repeats_plan
         ]
-        x = RepVGGBlock(chs[0], 2, bn_eps=1e-5, dtype=self.dtype, name="stem")(x, train)
+        x = RepVGGBlock(chs[0], 2, dtype=self.dtype, name="stem")(x, train)
         outputs: Dict[str, jnp.ndarray] = {}
         for i in range(1, 5):
-            x = RepVGGBlock(chs[i], 2, bn_eps=1e-5, dtype=self.dtype,
+            x = RepVGGBlock(chs[i], 2, dtype=self.dtype,
                             name=f"down{i + 1}")(x, train)
             x = RepBlock(chs[i], reps[i], dtype=self.dtype,
                          name=f"stage{i + 1}")(x, train)
             if i == 4:
-                x = SPPBottleneck(chs[i], act="relu", bn_eps=1e-5, dtype=self.dtype,
+                x = SPPBottleneck(chs[i], act="relu", dtype=self.dtype,
                                   name="sppf")(x, train)
             outputs[f"erep{i + 1}"] = x
         return {k: v for k, v in outputs.items() if k in self.out_features}

@@ -4,6 +4,10 @@ Parity with /root/reference/yolov7/modeling/neck/reppan.py (``RepPANNeck:6``)
 and neck/ppyolo_pan.py (``PPYOLOPAN:230`` with SPP + DropBlock — the
 reference file carries a latent paddle ``nn.Layer`` bug at :9 which we
 obviously do not reproduce).
+
+BN eps/momentum follow the ASSEMBLED reference model (1e-3 / torch 0.03,
+set by ``_init_model`` at meta_arch/yolov6.py:107-111 over the standalone
+modules' torch defaults) — see efficientrep.py's module docstring.
 """
 
 from __future__ import annotations
@@ -54,7 +58,7 @@ class RepPANNeck(nn.Module):
             for r in self.repeats_plan
         ]
 
-        r0 = BaseConv(ch5, 1, 1, act="relu", bn_eps=1e-5,
+        r0 = BaseConv(ch5, 1, 1, act="relu",
                       dtype=self.dtype, name="reduce0")(x0, train)
         # the reference upsamples with a LEARNABLE ConvTranspose2d(k=2,s=2)
         # (efficientrep.py Transpose:100), not nearest-neighbor
@@ -65,7 +69,7 @@ class RepPANNeck(nn.Module):
             up0, train
         )
 
-        r1 = BaseConv(ch6, 1, 1, act="relu", bn_eps=1e-5,
+        r1 = BaseConv(ch6, 1, 1, act="relu",
                       dtype=self.dtype, name="reduce1")(p4, train)
         u1 = nn.ConvTranspose(ch6, (2, 2), (2, 2), dtype=self.dtype,
                               param_dtype=jnp.float32, name="upsample1")(r1)
@@ -74,13 +78,13 @@ class RepPANNeck(nn.Module):
             up1, train
         )
 
-        d1 = BaseConv(ch7, 3, 2, act="relu", bn_eps=1e-5,
+        d1 = BaseConv(ch7, 3, 2, act="relu",
                       dtype=self.dtype, name="down1")(p3, train)
         n4 = RepBlock(ch8, reps[2], dtype=self.dtype, name="rep_n3")(
             jnp.concatenate([d1, r1], axis=-1), train
         )
 
-        d0 = BaseConv(ch9, 3, 2, act="relu", bn_eps=1e-5,
+        d0 = BaseConv(ch9, 3, 2, act="relu",
                       dtype=self.dtype, name="down0")(n4, train)
         n5 = RepBlock(ch10, reps[3], dtype=self.dtype, name="rep_n4")(
             jnp.concatenate([d0, r0], axis=-1), train

@@ -622,10 +622,12 @@ def convert_conv_transpose_weight(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 0, 1))
 
 
-def port_reppan_state_dict(state_dict, variables, strict: bool = False):
+def port_reppan_state_dict(state_dict, variables, strict: bool = False,
+                           prefix: Tuple[str, ...] = ()):
     """Pour a reference RepPANNeck state dict into our variables; handles
     the ConvTranspose (``Transpose``) layout, which differs from regular
-    convs (torch [I, O, kh, kw])."""
+    convs (torch [I, O, kh, kw]). ``prefix`` roots the flax paths under a
+    submodule (e.g. ``("neck",)`` inside the assembled YOLOV6 model)."""
     transpose_keys = {}
     rest = {}
     for k, v in state_dict.items():
@@ -634,11 +636,13 @@ def port_reppan_state_dict(state_dict, variables, strict: bool = False):
         else:
             rest[k] = v
     new_vars, report = port_torch_state_dict(
-        rest, variables, name_mapper=map_reppan_torch_name, strict=False
+        rest, variables,
+        name_mapper=lambda n: prefix + map_reppan_torch_name(n),
+        strict=False,
     )
     for k, v in transpose_keys.items():
         module, _, _ = k.rpartition(".")
-        path = map_reppan_torch_name(module) + ("kernel",)
+        path = prefix + map_reppan_torch_name(module) + ("kernel",)
         node = new_vars["params"]
         for p in path[:-1]:
             node = node[p]
